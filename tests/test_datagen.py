@@ -1,0 +1,128 @@
+import numpy as np
+import pytest
+
+from scalpel_spark.datagen.images import decode_png, encode_png, mean_hash_64, psnr
+from scalpel_spark.datagen.world import (
+    WorldParams,
+    generate_world,
+    image_pixels,
+    is_lossy,
+    make_image_row,
+)
+
+
+class TestPngCodec:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(0)
+        px = rng.integers(0, 256, size=(13, 21, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    def test_roundtrip_tiny(self):
+        px = np.zeros((1, 1, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+
+    def test_psnr(self):
+        a = np.zeros((8, 8, 3), dtype=np.uint8)
+        assert psnr(a, a) == float("inf")
+        b = a.copy()
+        b[0, 0, 0] = 255
+        assert 0 < psnr(a, b) < 40
+
+    def test_mean_hash_stable(self):
+        px = image_pixels(5)
+        assert mean_hash_64(px) == mean_hash_64(px)
+        assert -(1 << 63) <= mean_hash_64(px) < (1 << 63)
+
+
+class TestWorld:
+    @pytest.fixture(scope="class")
+    def world(self):
+        return generate_world(WorldParams(n_hosts=6, n_pages=60, n_images=30))
+
+    def test_deterministic(self):
+        p = WorldParams(n_hosts=4, n_pages=20, n_images=10)
+        w1 = generate_world(p)
+        w2 = generate_world(p)
+        assert w1["pages"] == w2["pages"]
+        assert [r["phash"] for r in w1["images"]] == [
+            r["phash"] for r in w2["images"]
+        ]
+
+    def test_image_fidelity_gate(self):
+        params = WorldParams(n_images=40)
+        lossy_seen = lossless_seen = 0
+        for i in range(40):
+            row = make_image_row(i, params)
+            decoded = decode_png(row["bytes"])
+            truth = image_pixels(i, params.seed)
+            assert decoded.shape == truth.shape == (row["h"], row["w"], 3)
+            if is_lossy(i, params):
+                lossy_seen += 1
+                assert psnr(decoded, truth) >= 40.0
+            else:
+                lossless_seen += 1
+                assert np.array_equal(decoded, truth)
+        assert lossy_seen > 0 and lossless_seen > 0
+
+    def test_pages_reference_valid_images_and_links(self, world):
+        ids = {r["image_id"] for r in world["images"]}
+        urls = {p["url"] for p in world["pages"]}
+        for p in world["pages"]:
+            for iid in p["image_ids"]:
+                assert iid in ids
+            for link in p["out_links"]:
+                assert link in urls
+
+    def test_extraction_matches_ground_truth(self, world):
+        """The scraper applied to generated html must recover exactly the
+        ground-truth image_ids + captions — the oracle the crawl uses."""
+        from scalpel_spark import any_selector, attr, chroots, scrape_html, sdo
+        from scalpel_spark.datagen.world import image_caption
+
+        for p in world["pages"][:40]:
+            got = scrape_html(
+                p["html"],
+                chroots(
+                    "img", sdo(attr("src", any_selector), attr("alt", any_selector))
+                ),
+            )
+            got_ids = [src.rsplit("/", 1)[1].removesuffix(".png") for src, _ in got]
+            assert got_ids == p["image_ids"]
+            for (_, alt), iid in zip(got, p["image_ids"]):
+                assert alt == image_caption(int(iid.split("-")[1]))
+
+    def test_link_extraction_canonicalizes_to_ground_truth(self, world):
+        from scalpel_spark import attrs, scrape_html, tag
+        from scalpel_spark.crawl.urlnorm import canonicalize_url
+
+        for p in world["pages"][:60]:
+            hrefs = scrape_html(p["html"], attrs("href", tag("a")))
+            canon = [canonicalize_url(h, base=p["url"]) for h in hrefs]
+            assert canon == p["out_links"]
+
+    def test_zipf_skew_present(self, world):
+        from collections import Counter
+
+        counts = Counter(p["host"] for p in world["pages"])
+        top = counts.most_common(1)[0][1]
+        assert top >= 3 * (len(world["pages"]) / (5 * len(counts)))
+
+    def test_write_world(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from scalpel_spark.datagen.world import write_world
+
+        params = WorldParams(n_hosts=3, n_pages=12, n_images=6)
+        write_world(str(tmp_path), params)
+        t = pq.read_table(str(tmp_path / "images.parquet"))
+        assert [f.name for f in t.schema] == [
+            "image_id",
+            "bytes",
+            "w",
+            "h",
+            "fmt",
+            "caption",
+            "phash",
+        ]
+        assert t.num_rows == 6
+        assert pq.read_table(str(tmp_path / "pages.parquet")).num_rows == 12
