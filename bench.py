@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Headline benchmark: prints ONE JSON line
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Covers the three workload families the engine is graded on:
+
+* relational/operator queries over ``$SPARK_GRAFT_SF_DIR`` parquet,
+* Arrow-batched HTML extraction throughput (pages/sec) + the full BSP
+  crawl (URLs/sec) over a deterministic synthetic web world,
+* training-pipeline ops (dedup/minhash, ANN top-k).
+
+Environment: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32). The N-vs-4N scaling run lives in
+``scripts/scaling_bench.py`` (separate JVMs) and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WORLD_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "bench_world"
+)
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q_region_nation_revenue",
+    "q_brand_volume",
+    "q_top3_orders_per_customer",
+    "q_events_hourly",
+    "q_session_windows",
+    "scrape_img_attrs",
+    "scrape_serial_sections",
+    "dedup_exact_docs",
+    "minhash_neardup_docs",
+    "simhash_neardup_docs",
+    "ann_cosine_topk",
+    "token_count_docs",
+]
+
+
+def ensure_world():
+    from scalpel_spark.datagen.world import WorldParams, write_world
+
+    marker = os.path.join(WORLD_DIR, "pages.parquet")
+    params = WorldParams(seed=42, n_hosts=120, n_pages=6000, n_images=1500)
+    if not os.path.exists(marker):
+        write_world(WORLD_DIR, params)
+    return params
+
+
+def main() -> None:
+    from scalpel_spark.queries import QUERIES
+    from scalpel_spark.spark.session import get_spark
+
+    spark = get_spark(app="scalpel_spark_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # warm the JVM/Python-worker pool once (not timed)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    # --- extraction throughput over the synthetic world ------------------
+    ensure_world()
+    pages = spark.read.parquet(os.path.join(WORLD_DIR, "pages.parquet"))
+    n_pages = pages.count()
+    from scalpel_spark.crawl.logic import PAGE_SCRAPER  # noqa: F401
+    from scalpel_spark.spark.extract import extract_records
+    from scalpel_spark import any_selector, attr, chroots, sdo
+
+    scraper = chroots("img", sdo(attr("src", any_selector), attr("alt", any_selector)))
+    t0 = time.perf_counter()
+    n_rec = extract_records(
+        pages.repartition(CPUS * 2),
+        scraper,
+        "src string, alt string",
+        carry_cols=["url"],
+    ).count()
+    dt = time.perf_counter() - t0
+    timings["extract_images_world"] = round(dt, 3)
+    extras["extract_pages_per_sec"] = round(n_pages / dt, 1)
+    extras["extract_records"] = n_rec
+
+    # --- end-to-end BSP crawl --------------------------------------------
+    import shutil
+    import tempfile
+
+    from scalpel_spark.crawl.engine import CrawlEngine
+
+    out = tempfile.mkdtemp(prefix="crawl_bench_")
+    try:
+        t0 = time.perf_counter()
+        eng = CrawlEngine(spark, WORLD_DIR, out, max_rounds=12)
+        summary = eng.run()
+        dt = time.perf_counter() - t0
+        timings["crawl_bsp_12_rounds"] = round(dt, 3)
+        extras["crawl_urls_fetched"] = summary["total_fetched"]
+        extras["crawl_urls_per_sec"] = round(summary["total_fetched"] / dt, 1)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": CPUS,
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,40 @@ def optimal_bits_per_key(fpp: float) -> float:
     return -math.log(fpp) / (math.log(2) ** 2)
 
 
+def shard_of(hashes: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard routing: high 16 bits of the uint64 view, mod n_shards.
+    Spark-side equivalent: ``pmod(shiftrightunsigned(url_hash, 48), n)``."""
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    return ((h >> _U64(48)) % _U64(n_shards)).astype(np.int64)
+
+
+def probe_arrays(hashes: np.ndarray):
+    """(h1, h2) probe bases for Kirsch-Mitzenmacher double hashing."""
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    h1 = _fmix64_np(h)
+    h2 = _fmix64_np(h ^ _U64(0x9E3779B97F4A7C15)) | _U64(1)
+    return h1, h2
+
+
+def build_bits(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Bitset (uint8[m/8]) with all probe bits of ``hashes`` set — the
+    per-shard build kernel used by the grouped Arrow UDF."""
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    if len(hashes) == 0:
+        return bits
+    h1, h2 = probe_arrays(hashes)
+    mm = _U64(m)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            idx = (h1 + _U64(i) * h2) % mm
+            np.bitwise_or.at(
+                bits,
+                (idx >> _U64(3)).astype(np.int64),
+                np.left_shift(np.uint8(1), (idx & _U64(7)).astype(np.uint8)),
+            )
+    return bits
+
+
 class BloomShards:
     """``n_shards`` independent bitsets; key → shard by high bits of the
     (already murmur3-derived) 64-bit hash, bit probes by
@@ -67,11 +101,9 @@ class BloomShards:
     # --- key → (shard, h1, h2) -------------------------------------------
 
     def _split(self, hashes: np.ndarray):
-        h = hashes.astype(np.int64).view(np.uint64)
-        shard = (h >> _U64(48)) % _U64(self.n_shards)
-        h1 = _fmix64_np(h)
-        h2 = _fmix64_np(h ^ _U64(0x9E3779B97F4A7C15)) | _U64(1)
-        return shard.astype(np.int64), h1, h2
+        shard = shard_of(hashes, self.n_shards)
+        h1, h2 = probe_arrays(hashes)
+        return shard, h1, h2
 
     def add_many(self, hashes) -> None:
         hashes = np.asarray(hashes, dtype=np.int64)

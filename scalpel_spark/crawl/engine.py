@@ -1,0 +1,423 @@
+"""The Spark BSP crawl engine.
+
+One round (SURVEY §3.4):
+
+  frontier snapshot
+    → politeness batch   (broadcast robots join; two-phase salted
+                          window-rank per host — skew-bounded top-k)
+    → resolver join      (frontier ⋈ corpus on url; the offline stand-in
+                          for the HTTP fetch stage, URL.hs:72-82)
+    → extraction         (one Arrow-batched mapInPandas pass: images +
+                          canonical outlinks + murmur3 hashes per page)
+    → link dedup         (min-by-parent-fetch-seq groupBy — matches the
+                          simulator's first-discoverer-wins rule)
+    → robots filter      (broadcast join + JVM-side prefix check)
+    → bloom prefilter    (broadcast shards; definite-new rows BYPASS the
+                          anti-join; only maybe-seen rows shuffle)
+    → seen anti-join     (exact decision; bloom is prune-only)
+    → append deltas + next-frontier snapshot + manifest commit
+
+Scale notes (10^10 frontier, 1000 executors):
+* the full frontier is never collected; every per-round structure is a
+  DataFrame. Driver state = bloom shards (size independent of row
+  count) + scalar counters.
+* politeness ranking partitions by host; hot hosts are pre-pruned by a
+  salted first-phase top-k so no partition ever sees more than
+  ``n_salts × budget`` rows per host.
+* global fetch_seq is a row_number over the *politeness-bounded* batch
+  (≤ Σ per-host budgets per round), not over the frontier.
+* bloom shards are built distributively (groupBy(shard).applyInPandas)
+  and OR-merged on the driver — bytes moved per round = shard bytes,
+  not keys.
+* exact resume: state lives in per-round parquet + manifest
+  (tableio.SnapshotStore); a torn round never commits.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .bloom import BloomShards, build_bits
+from .logic import DEFAULT_BUDGET, PRIORITY_DECAY, extract_page, url_hash
+from .tableio import SnapshotStore
+from .urlnorm import canonicalize_url, url_host
+
+FRONTIER_SCHEMA = (
+    "url string, url_hash long, host string, priority double, depth int, parent_url string"
+)
+
+_EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("fetch_seq", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("url_hash", T.LongType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("n_images", T.IntegerType()),
+        T.StructField(
+            "imgs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("image_id", T.StringType()),
+                        T.StructField("src", T.StringType()),
+                        T.StructField("caption", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+        T.StructField(
+            "links",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("url", T.StringType()),
+                        T.StructField("url_hash", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _extract_batches(batches: Iterable[pd.DataFrame]):
+    """mapInPandas kernel: fetched pages → extraction rows (one out-row
+    per page; images/links as arrays so a single parse serves both)."""
+    for pdf in batches:
+        out = {name: [] for name in _EXTRACT_SCHEMA.fieldNames()}
+        for row in pdf.itertuples(index=False):
+            status = int(row.status) if pd.notna(row.status) else 0
+            html = row.html if isinstance(row.html, str) else None
+            imgs: list = []
+            links: list = []
+            if html is not None and status == 200:
+                ext = extract_page(html, row.url)
+                imgs = [
+                    {"image_id": iid, "src": src, "caption": cap}
+                    for iid, src, cap in ext.images
+                ]
+                links = [{"url": u, "url_hash": url_hash(u)} for u in ext.links]
+            out["fetch_seq"].append(row.fetch_seq)
+            out["url"].append(row.url)
+            out["url_hash"].append(row.url_hash)
+            out["host"].append(row.host)
+            out["parent_url"].append(row.parent_url)
+            out["priority"].append(row.priority)
+            out["depth"].append(row.depth)
+            out["status"].append(status)
+            out["n_images"].append(len(imgs))
+            out["imgs"].append(imgs)
+            out["links"].append(links)
+        yield pd.DataFrame(out)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus_dir: str,
+        out_dir: str,
+        max_rounds: int = 50,
+        n_salts: int = 8,
+        bloom_shards: int = 16,
+        bloom_bits_per_shard: int = 1 << 20,
+        bloom_k: int = 7,
+    ):
+        self.spark = spark
+        self.corpus_dir = corpus_dir
+        self.store = SnapshotStore(out_dir)
+        self.max_rounds = max_rounds
+        self.n_salts = n_salts
+        self._bloom_cfg = (bloom_shards, bloom_bits_per_shard, bloom_k)
+        self.bloom = BloomShards(bloom_shards, bloom_bits_per_shard, bloom_k)
+
+        self.pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+        robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
+        self.robots = robots.select(
+            "host",
+            F.col("max_fetches_per_round").alias("budget"),
+            F.col("disallow_prefixes").alias("disallow"),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _seed_frontier(self) -> DataFrame:
+        seeds = self.spark.read.parquet(os.path.join(self.corpus_dir, "seeds.parquet"))
+        pdf = seeds.toPandas()  # seed list is small by definition
+        rows = []
+        seen = set()
+        for r in pdf.sort_values("url").itertuples(index=False):
+            c = canonicalize_url(r.url)
+            if c is None:
+                continue
+            h = url_hash(c)
+            if h in seen:
+                continue
+            seen.add(h)
+            rows.append((c, h, url_host(c) or "", float(r.priority), 0, ""))
+        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+        # robots filter on seeds, same rule as links
+        return self._filter_disallowed(df)
+
+    def _filter_disallowed(self, df: DataFrame) -> DataFrame:
+        path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+        joined = df.join(F.broadcast(self.robots.select("host", "disallow")), "host", "left")
+        blocked = F.when(
+            F.col("disallow").isNotNull(),
+            F.exists("disallow", lambda p: F.startswith(path, p)),
+        ).otherwise(F.lit(False))
+        return joined.where(~blocked).drop("disallow")
+
+    def _bloom_maybe_seen(self, df: DataFrame, hash_col: str) -> DataFrame:
+        """Adds boolean ``maybe_seen`` via broadcast bloom shards."""
+        rows = self.bloom.to_rows()
+        bc = self.spark.sparkContext.broadcast(rows)
+        schema = T.StructType(
+            df.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
+        )
+        names = df.schema.fieldNames()
+
+        def probe(batches):
+            bf = BloomShards.from_rows(bc.value)
+            for pdf in batches:
+                hashes = pdf[hash_col].to_numpy(dtype=np.int64)
+                pdf = pdf.copy()
+                pdf["maybe_seen"] = bf.contains_many(hashes)
+                yield pdf[names + ["maybe_seen"]]
+
+        return df.mapInPandas(probe, schema)
+
+    def _bloom_add_distributed(self, df_hashes: DataFrame, hash_col: str) -> None:
+        """Distributed delta-shard build; driver merges shard bytes."""
+        n_shards, m, k = self._bloom_cfg
+        shard_col = F.pmod(F.shiftrightunsigned(F.col(hash_col), 48), F.lit(n_shards))
+
+        def build(key, pdf):
+            bits = build_bits(pdf[hash_col].to_numpy(dtype=np.int64), m, k)
+            return pd.DataFrame(
+                [{"shard": int(key[0]), "m": m, "k": k, "bits": bits.tobytes()}]
+            )
+
+        delta = (
+            df_hashes.select(F.col(hash_col), shard_col.alias("shard"))
+            .groupBy("shard")
+            .applyInPandas(build, "shard int, m int, k int, bits binary")
+        )
+        for row in delta.collect():
+            self.bloom.bits[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint8)
+
+    def _write(self, df: DataFrame, rnd: int, name: str) -> tuple[str, int]:
+        path = self.store.table_path(rnd, name)
+        df.write.mode("overwrite").parquet(path)
+        return path, self.spark.read.parquet(path).count()
+
+    def _seen_paths(self, upto_round: int) -> list[str]:
+        paths = [self.store.table_path(-1, "seen_delta")]
+        paths += [self.store.table_path(r, "seen_delta") for r in range(upto_round)]
+        return [p for p in paths if os.path.exists(p)]
+
+    # ------------------------------------------------------------------
+
+    def run(self, resume: bool = False) -> dict:
+        spark = self.spark
+        last = self.store.last_complete_round() if resume else None
+        if last is None:
+            self.store.init_engine(
+                {
+                    "corpus": self.corpus_dir,
+                    "n_salts": self.n_salts,
+                    "bloom": list(self._bloom_cfg),
+                    "priority_decay": PRIORITY_DECAY,
+                    "default_budget": DEFAULT_BUDGET,
+                }
+            )
+            seeded = self._seed_frontier().persist()
+            tables = {
+                "frontier_next": self._write(seeded, -1, "frontier_next"),
+                "seen_delta": self._write(seeded.select("url_hash", "url"), -1, "seen_delta"),
+            }
+            self._bloom_add_distributed(seeded.select("url_hash"), "url_hash")
+            bloom_df = spark.createDataFrame(
+                self.bloom.to_rows(), "shard int, m int, k int, bits binary"
+            )
+            tables["bloom"] = self._write(bloom_df, -1, "bloom")
+            self.store.commit_round(
+                -1, tables, {"n_fetched": 0, "total_fetched": 0, "n_pending": tables["frontier_next"][1]}
+            )
+            seeded.unpersist()
+            start_round, seq_offset = 0, 0
+        else:
+            manifest = self.store.read_manifest()
+            entry = [r for r in manifest["rounds"] if r["round"] == last][0]
+            seq_offset = entry["metrics"]["total_fetched"]
+            start_round = last + 1
+            self.bloom = BloomShards.from_rows(
+                [
+                    (r["shard"], r["m"], r["k"], bytes(r["bits"]))
+                    for r in spark.read.parquet(
+                        self.store.table_path(last, "bloom")
+                    ).collect()
+                ]
+            )
+
+        for rnd in range(start_round, self.max_rounds):
+            frontier = spark.read.parquet(self.store.table_path(rnd - 1, "frontier_next"))
+            n_pending = frontier.count()
+            if n_pending == 0:
+                break
+
+            # --- politeness: two-phase salted top-k per host ------------
+            cand = frontier.join(
+                F.broadcast(self.robots.select("host", "budget")), "host", "left"
+            ).withColumn("budget", F.coalesce("budget", F.lit(DEFAULT_BUDGET)))
+            order = [F.desc("priority"), F.asc("url_hash"), F.asc("url")]
+            w1 = Window.partitionBy("host", "salt").orderBy(*order)
+            pre = (
+                cand.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(self.n_salts)))
+                .withColumn("r1", F.row_number().over(w1))
+                .where(F.col("r1") <= F.col("budget"))
+            )
+            w2 = Window.partitionBy("host").orderBy(*order)
+            batch = (
+                pre.withColumn("rank", F.row_number().over(w2) - 1)
+                .where(F.col("rank") < F.col("budget"))
+                .drop("salt", "r1", "budget")
+            )
+            wseq = Window.orderBy(F.asc("host"), F.asc("rank"))
+            batch = batch.withColumn(
+                "fetch_seq", F.row_number().over(wseq) - 1 + F.lit(seq_offset)
+            ).persist()
+
+            # --- resolver join + extraction -----------------------------
+            fetched_in = batch.join(
+                self.pages.select("url", "html", "status"), "url", "left"
+            )
+            extracted = fetched_in.mapInPandas(
+                lambda it: _extract_batches(it), _EXTRACT_SCHEMA
+            ).persist()
+
+            fetch_log = extracted.select(
+                "fetch_seq",
+                F.lit(rnd).alias("round"),
+                "url",
+                "url_hash",
+                "host",
+                "parent_url",
+                "status",
+                "n_images",
+            )
+            images = extracted.select(
+                F.col("url").alias("page_url"), F.explode("imgs").alias("img")
+            ).select("page_url", "img.image_id", "img.src", "img.caption")
+
+            # --- new links: dedup → robots → bloom → exact anti-join ----
+            links = extracted.select(
+                "fetch_seq",
+                F.col("url").alias("parent_url"),
+                "priority",
+                "depth",
+                F.explode("links").alias("l"),
+            ).select(
+                F.col("l.url").alias("url"),
+                F.col("l.url_hash").alias("url_hash"),
+                "fetch_seq",
+                "parent_url",
+                "priority",
+                "depth",
+            )
+            deduped = (
+                links.groupBy("url", "url_hash")
+                .agg(
+                    F.min(F.struct("fetch_seq", "parent_url", "priority", "depth")).alias(
+                        "p"
+                    )
+                )
+                .select(
+                    "url",
+                    "url_hash",
+                    F.col("p.parent_url").alias("parent_url"),
+                    (F.col("p.priority") * F.lit(PRIORITY_DECAY)).alias("priority"),
+                    (F.col("p.depth") + 1).alias("depth"),
+                )
+                .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
+            )
+            allowed = self._filter_disallowed(deduped)
+            probed = self._bloom_maybe_seen(allowed, "url_hash").persist()
+            definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
+            seen_paths = self._seen_paths(rnd)
+            seen_df = spark.read.parquet(*seen_paths).select("url_hash")
+            confirmed_new = maybe.join(seen_df, "url_hash", "left_anti")
+            new_entries = definite_new.unionByName(confirmed_new).select(
+                "url", "url_hash", "host", "priority", "depth", "parent_url"
+            ).persist()
+
+            # --- next frontier + state updates --------------------------
+            remaining = cand.select(
+                "url", "url_hash", "host", "priority", "depth", "parent_url"
+            ).join(batch.select("url_hash"), "url_hash", "left_anti")
+            frontier_next = remaining.unionByName(new_entries)
+
+            tables = {
+                "fetched": self._write(fetch_log, rnd, "fetched"),
+                "images": self._write(images, rnd, "images"),
+                "seen_delta": self._write(
+                    new_entries.select("url_hash", "url"), rnd, "seen_delta"
+                ),
+                "frontier_next": self._write(frontier_next, rnd, "frontier_next"),
+            }
+            self._bloom_add_distributed(new_entries.select("url_hash"), "url_hash")
+            bloom_df = spark.createDataFrame(
+                self.bloom.to_rows(), "shard int, m int, k int, bits binary"
+            )
+            tables["bloom"] = self._write(bloom_df, rnd, "bloom")
+
+            n_fetched = tables["fetched"][1]
+            seq_offset += n_fetched
+            self.store.commit_round(
+                rnd,
+                tables,
+                {
+                    "n_pending": n_pending,
+                    "n_fetched": n_fetched,
+                    "n_new_links": tables["seen_delta"][1],
+                    "n_images": tables["images"][1],
+                    "total_fetched": seq_offset,
+                },
+            )
+            batch.unpersist()
+            extracted.unpersist()
+            probed.unpersist()
+            new_entries.unpersist()
+            if n_fetched == 0:
+                break
+
+        return {"total_fetched": seq_offset, "rounds": self.store.read_manifest()["rounds"]}
+
+    # ------------------------------------------------------------------
+
+    def fetch_log_df(self) -> DataFrame:
+        rounds = [r["round"] for r in self.store.read_manifest()["rounds"] if r["round"] >= 0]
+        paths = [self.store.table_path(r, "fetched") for r in rounds]
+        paths = [p for p in paths if os.path.exists(p)]
+        return self.spark.read.parquet(*paths)
+
+    def seen_df(self) -> DataFrame:
+        return self.spark.read.parquet(*self._seen_paths(10**6))
+
+    def images_df(self) -> DataFrame:
+        rounds = [r["round"] for r in self.store.read_manifest()["rounds"] if r["round"] >= 0]
+        paths = [self.store.table_path(r, "images") for r in rounds]
+        paths = [p for p in paths if os.path.exists(p)]
+        return self.spark.read.parquet(*paths)

@@ -1,0 +1,170 @@
+"""Multimodal (image) operators over the input_hint table
+``(image_id, bytes, w, h, fmt, caption, phash)``.
+
+The binary payload is opaque to Catalyst; every pixel-touching operator
+is an Arrow-batched ``mapInPandas`` whose *plumbing* (schema, carry
+columns, batch shape) is real and tested. PNG decode is real (pure
+numpy+zlib codec); codecs not present in this environment (jpeg, video
+frames, audio) are stubbed behind ``NotImplementedError`` with the same
+signatures, per the build contract.
+
+Scale notes: feature rows are tiny (stats, hashes) — the shuffle after
+these operators never carries pixels. ``phash_neardup`` joins on 16-bit
+hash chunks (same block-trick as simhash) so hamming search is
+bucket-local, never all-pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .datagen.images import decode_png, mean_hash_64
+
+
+def decode_image(blob: bytes, fmt: str) -> np.ndarray:
+    """bytes → (h, w, 3) uint8. Only 'png' decodable in this sandbox."""
+    if fmt == "png":
+        return decode_png(blob)
+    raise NotImplementedError(
+        f"decode for fmt={fmt!r} requires an image library not present in "
+        "this environment; plug a decoder in here (signature is stable)"
+    )
+
+
+def resize_block_mean(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic block-mean downscale (no interpolation libs)."""
+    h, w, _ = px.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    f = px.astype(np.float32)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = f[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.mean(axis=(0, 1)).astype(np.uint8)
+    return out
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("luma_hist", T.ArrayType(T.IntegerType())),  # 16 bins
+        T.StructField("phash_check", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Decode → per-image stats + recomputed phash (integrity check
+    against the stored ``phash`` column)."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _FEATURE_SCHEMA.fields}
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(blob), fmt)
+                    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                    hist = np.histogram(gray, bins=16, range=(0, 256))[0]
+                    out["image_id"].append(iid)
+                    out["mean_r"].append(float(px[:, :, 0].mean()))
+                    out["mean_g"].append(float(px[:, :, 1].mean()))
+                    out["mean_b"].append(float(px[:, :, 2].mean()))
+                    out["luma_hist"].append(hist.astype(int).tolist())
+                    out["phash_check"].append(mean_hash_64(px))
+                    out["decode_ok"].append(True)
+                except NotImplementedError:
+                    out["image_id"].append(iid)
+                    for c in ("mean_r", "mean_g", "mean_b"):
+                        out[c].append(None)
+                    out["luma_hist"].append(None)
+                    out["phash_check"].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(gen, _FEATURE_SCHEMA)
+
+
+def thumbnails(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Decode → block-mean resize → re-encoded PNG thumbnail column."""
+    from .datagen.images import encode_png
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("thumb", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, thumbs = [], []
+            for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                try:
+                    px = decode_image(bytes(blob), fmt)
+                    thumbs.append(encode_png(resize_block_mean(px, out_h, out_w)))
+                    ids.append(iid)
+                except NotImplementedError:
+                    ids.append(iid)
+                    thumbs.append(None)
+            yield pd.DataFrame({"image_id": ids, "thumb": thumbs})
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(gen, schema)
+
+
+def phash_neardup(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate images by phash hamming distance, 16-bit-chunk
+    block join (pairs within distance ≤6 share ≥1 of 4 chunks only when
+    ≤3 chunks differ — for ≥4-chunk spread increase chunks; documented
+    recall/cost knob). JVM-side throughout."""
+    chunks = df.select(
+        "image_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned("phash", 16 * i) % F.lit(1 << 16))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.image_id") < F.col("r.image_id")),
+        )
+        .select(
+            F.col("l.image_id").alias("id_a"),
+            F.col("r.image_id").alias("id_b"),
+            F.col("l.phash").alias("ph_a"),
+            F.col("r.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def audio_features(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
+    """STUB: audio decode/feature path (no audio libs in sandbox). The
+    Spark plumbing mirrors image_features; decode raises."""
+    raise NotImplementedError("audio codecs unavailable in this environment")
+
+
+def video_frame_sample(df: DataFrame, every_n: int = 30):  # pragma: no cover - stub
+    """STUB: video frame sampling (no video libs in sandbox)."""
+    raise NotImplementedError("video codecs unavailable in this environment")

@@ -1,0 +1,757 @@
+"""The driver-facing query catalog: every entry pairs a Spark
+implementation with (where SQL-expressible) a DuckDB oracle over the
+same parquet tables — the correctness gate of the build contract.
+
+Conventions that make the value-hash comparison exact:
+
+* monetary/float sums leave Python as integer cents
+  (``round(x*100) → bigint``) so no float-accumulation-order noise;
+* ``row_number``/counts cast to bigint on both sides;
+* timestamps exported as formatted strings (Spark session is UTC,
+  DuckDB is UTC-naive);
+* every computed column aliased identically in both engines.
+
+Scraper-semantics queries build deterministic HTML *from table columns
+inside the query* (both engines see identical inputs), run the real
+Arrow-batched extraction tier on the Spark side, and a direct columnar
+reconstruction on the oracle side — so the HTML engine itself is what's
+being verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# ===========================================================================
+# relational core (SURVEY §2.7 categories)
+# ===========================================================================
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_c"),
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("sum_disc_price_c"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@q(
+    "q_region_nation_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_region_nation_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_cents(F.col("o_totalprice"))).alias("revenue_c"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "q_brand_volume",
+    """
+    SELECT p_brand,
+           CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def q_brand_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    # part is the small dimension — explicit broadcast hint
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("qty_c"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q_customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "q_customers_with_orders_semi",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_customers_with_orders_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "q_priority_rollup",
+    """
+    SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_priority_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "q_status_priority_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_status_priority_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("total_c"),
+    )
+
+
+@q(
+    "q_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q_top3_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@q(
+    "q_order_value_lead_lag",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(COALESCE(prev_price, 0)*100) AS BIGINT) AS prev_c,
+           CAST(ROUND(COALESCE(next_price, 0)*100) AS BIGINT) AS next_c
+    FROM (
+      SELECT o_orderkey,
+             lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+             lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+      FROM orders)
+    """,
+)
+def q_order_value_lead_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        _cents(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0))).alias("prev_c"),
+        _cents(F.coalesce(F.lead("o_totalprice").over(w), F.lit(0))).alias("next_c"),
+    )
+
+
+@q(
+    "q_set_ops",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    return o.subtract(c)
+
+
+@q(
+    "q_distinct_union",
+    """
+    SELECT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      UNION
+      SELECT c_custkey AS custkey FROM customer)
+    """,
+)
+def q_distinct_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.union(c).distinct()
+
+
+@q(
+    "q_string_ops",
+    """
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 6)) AS name6,
+           length(p_name) AS name_len,
+           replace(p_type, ' ', '_') AS type_u
+    FROM part
+    """,
+)
+def q_string_ops(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 6)).alias("name6"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+    )
+
+
+@q(
+    "q_events_hourly",
+    """
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_cents(F.col("value"))).alias("value_c"),
+    )
+
+
+@q(
+    "q_events_json",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "q_session_windows",
+    """
+    SELECT user_id, CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions FROM (
+      SELECT user_id,
+             SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap
+        FROM events))
+    GROUP BY user_id
+    """,
+)
+def q_session_windows(spark, sf_dir):
+    # sessionization: 30-min inactivity gap → session counts per user
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = (
+        e.withColumn("gap", gap)
+        .withColumn(
+            "new_sess",
+            F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_sess").over(w))
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions")
+    )
+
+
+# ===========================================================================
+# scraper semantics through the DataFrame path
+# ===========================================================================
+
+
+def _docs_html(df: DataFrame, template_cols) -> DataFrame:
+    return df.withColumn("html", F.concat(*template_cols))
+
+
+@q(
+    "scrape_img_attrs",
+    """
+    SELECT doc_id, CAST(doc_id AS VARCHAR) AS src, lang AS alt FROM documents
+    """,
+)
+def scrape_img_attrs(spark, sf_dir):
+    from scalpel_spark import any_selector, attr, chroots, sdo
+    from scalpel_spark.spark.extract import extract_records
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="doc"><img src="'),
+            F.col("doc_id").cast("string"),
+            F.lit('" alt="'),
+            F.col("lang"),
+            F.lit('"/></div>'),
+        ).alias("html"),
+    )
+    scraper = chroots(
+        "img", sdo(attr("src", any_selector), attr("alt", any_selector))
+    )
+    return extract_records(
+        df, scraper, "src string, alt string", carry_cols=["doc_id"], prefilter="img"
+    )
+
+
+@q(
+    "scrape_texts_nested",
+    "SELECT doc_id, lang AS ptext, source AS title FROM documents",
+)
+def scrape_texts_nested(spark, sf_dir):
+    from scalpel_spark import chroot, sdo, tag, text
+    from scalpel_spark.spark.extract import extract_records
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<article><h1>"),
+            F.col("source"),
+            F.lit("</h1><div><p>"),
+            F.col("lang"),
+            F.lit("</p></div></article>"),
+        ).alias("html"),
+    )
+    scraper = chroot(
+        "article", sdo(text(tag("article") // "p"), text(tag("h1")))
+    )
+    return extract_records(
+        df, scraper, "ptext string, title string", carry_cols=["doc_id"]
+    )
+
+
+@q(
+    "scrape_positions",
+    """
+    SELECT doc_id, i AS pos, CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR) AS content
+    FROM documents, (VALUES (0), (1), (2)) t(i)
+    """,
+)
+def scrape_positions(spark, sf_dir):
+    from scalpel_spark import any_selector, chroots, position, sdo, tag, text
+    from scalpel_spark.spark.extract import extract_records
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    df = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<article><p>"), did, F.lit("-0</p><p>"),
+            did, F.lit("-1</p><p>"), did, F.lit("-2</p></article>"),
+        ).alias("html"),
+    )
+    scraper = chroots(tag("article") // "p", sdo(position(), text(any_selector)))
+    return extract_records(
+        df, scraper, "pos int, content string", carry_cols=["doc_id"]
+    )
+
+
+@q(
+    "scrape_serial_sections",
+    """
+    SELECT doc_id, s.section,
+           CASE WHEN s.section = 'A' THEN lang || '|' || source ELSE 'solo' END AS ps
+    FROM documents, (VALUES ('A'), ('B')) s(section)
+    """,
+)
+def scrape_serial_sections(spark, sf_dir):
+    from scalpel_spark import (
+        chroot,
+        in_serial,
+        many,
+        matches,
+        seek_next,
+        tag,
+        text,
+        until_next,
+    )
+    from scalpel_spark.spark.extract import extract_records
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<body><h2>A</h2><p>"),
+            F.col("lang"),
+            F.lit("</p><p>"),
+            F.col("source"),
+            F.lit("</p><h2>B</h2><p>solo</p></body>"),
+        ).alias("html"),
+    )
+    scraper = chroot(
+        "body",
+        in_serial(
+            many(
+                seek_next(text(tag("h2"))).bind(
+                    lambda title: until_next(
+                        matches(tag("h2")), many(seek_next(text(tag("p"))))
+                    ).map(lambda ps: (title, "|".join(ps)))
+                )
+            )
+        ),
+    )
+    return extract_records(
+        df, scraper, "section string, ps string", carry_cols=["doc_id"]
+    )
+
+
+@q(
+    "scrape_class_filter",
+    """
+    SELECT doc_id, lang AS keep FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def scrape_class_filter(spark, sf_dir):
+    from scalpel_spark import has_class, tag, texts
+    from scalpel_spark.spark.extract import extract_records
+
+    d = _t(spark, sf_dir, "documents")
+    cls = F.when(F.col("doc_id") % 3 == 0, F.lit("keep good")).otherwise(
+        F.lit("drop bad")
+    )
+    df = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<div class='"), cls, F.lit("'><span>"), F.col("lang"),
+            F.lit("</span></div>"),
+        ).alias("html"),
+    )
+    scraper = texts(tag("div", has_class("keep")) // "span")
+    out = extract_records(df, scraper, "keeps array<string>", carry_cols=["doc_id"], explode=False)
+    return out.select("doc_id", F.explode("keeps").alias("keep"))
+
+
+# ===========================================================================
+# crawl-layer operators with SQL oracles
+# ===========================================================================
+
+
+@q(
+    "url_canonicalize",
+    """
+    SELECT o_orderkey,
+           'http://host-' || CAST(o_custkey % 20 AS VARCHAR)
+             || '.example/p/' || CAST(o_orderkey AS VARCHAR) || '?a=1&b=2' AS canon
+    FROM orders
+    """,
+)
+def url_canonicalize(spark, sf_dir):
+    import pandas as pd
+
+    from scalpel_spark.crawl.urlnorm import canonicalize_series
+
+    o = _t(spark, sf_dir, "orders")
+    raw = F.concat(
+        F.lit("HTTP://HOST-"),
+        F.pmod(F.col("o_custkey"), F.lit(20)).cast("string"),
+        F.lit(".EXAMPLE:80/x/../p/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?b=2&a=1#frag"),
+    )
+    df = o.select("o_orderkey", raw.alias("raw_url"))
+
+    def canon(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": pdf["o_orderkey"],
+                    "canon": canonicalize_series(pdf["raw_url"]),
+                }
+            )
+
+    return df.mapInPandas(canon, "o_orderkey long, canon string")
+
+
+@q(
+    "frontier_politeness_rank",
+    """
+    SELECT o_orderkey, host, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT o_orderkey,
+             'h' || CAST(o_custkey % 37 AS VARCHAR) AS host,
+             row_number() OVER (PARTITION BY o_custkey % 37
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders) WHERE rank <= 3
+    """,
+)
+def frontier_politeness_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    host = F.concat(F.lit("h"), F.pmod(F.col("o_custkey"), F.lit(37)).cast("string"))
+    w = Window.partitionBy(F.pmod(F.col("o_custkey"), F.lit(37))).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select("o_orderkey", host.alias("host"), F.row_number().over(w).cast("long").alias("rank"))
+        .where(F.col("rank") <= 3)
+    )
+
+
+@q("bloom_prefilter_semantics", None)  # prune-only invariant: rows-only check
+def bloom_prefilter_semantics(spark, sf_dir):
+    """Bloom prefilter has no false negatives: rows flagged definite-new
+    by the bloom are exactly the rows the exact anti-join would keep, on
+    a seen-set built from half of orders."""
+    import numpy as np
+    import pandas as pd
+
+    from scalpel_spark.crawl.bloom import BloomShards
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.xxhash64(F.col("o_orderkey")).alias("h"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_seen"),
+    )
+    seen = [r.h for r in o.where("is_seen").collect()]
+    bf = BloomShards.for_capacity(max(len(seen), 1024), n_shards=4)
+    bf.add_many(np.array(seen, dtype=np.int64))
+    bc = spark.sparkContext.broadcast(bf.to_rows())
+
+    def probe(batches):
+        bff = BloomShards.from_rows(bc.value)
+        for pdf in batches:
+            out = pdf.copy()
+            out["maybe_seen"] = bff.contains_many(pdf["h"].to_numpy(np.int64))
+            yield out
+
+    probed = o.mapInPandas(probe, "h long, is_seen boolean, maybe_seen boolean")
+    # violations of the no-false-negative invariant (must be zero rows):
+    return probed.where(F.col("is_seen") & ~F.col("maybe_seen"))
+
+
+# ===========================================================================
+# training-data pipeline ops
+# ===========================================================================
+
+
+@q(
+    "dedup_exact_docs",
+    """
+    SELECT length(text) AS text_len, MIN(doc_id) AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    from scalpel_spark.textops import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("text_len", "rep_doc_id", "n_dupes")
+
+
+@q(
+    "token_count_docs",
+    """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE array_length(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    FROM documents
+    """,
+)
+def token_count_docs(spark, sf_dir):
+    from scalpel_spark.textops import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return token_count(d).select("doc_id", "n_tokens")
+
+
+@q(
+    "quality_docs",
+    """
+    SELECT doc_id, CAST(ROUND((
+        least(length(text)/1000.0, 1.0) * 0.4
+      + (1.0 - least((length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))) / (length(text)+1) * 10, 1.0)) * 0.3
+      + (1.0 - least((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) / (length(text)+1) * 5, 1.0)) * 0.2
+      + least(((length(text) - (length(text) - length(replace(text, ' ', '')))) / ((length(text) - length(replace(text, ' ', ''))) + 1)) / 10, 1.0) * 0.1
+    ) * 10000) AS BIGINT) AS quality_i4
+    FROM documents
+    """,
+)
+def quality_docs(spark, sf_dir):
+    from scalpel_spark.textops import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_score(d).select("doc_id", "quality_i4")
+
+
+@q("lang_id_docs", None)  # heuristic model — rows-only check
+def lang_id_docs(spark, sf_dir):
+    from scalpel_spark.textops import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+@q("fingerprint_docs", None)  # rolling-hash — not SQL-expressible
+def fingerprint_docs(spark, sf_dir):
+    from scalpel_spark.textops import doc_fingerprint
+
+    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@q("minhash_neardup_docs", None)  # LSH pipeline — rows-only check
+def minhash_neardup_docs(spark, sf_dir):
+    from scalpel_spark.textops import minhash_neardup
+
+    return minhash_neardup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@q("simhash_neardup_docs", None)  # rows-only check
+def simhash_neardup_docs(spark, sf_dir):
+    from scalpel_spark.textops import simhash_neardup
+
+    return simhash_neardup(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                                         v.vec_id) AS rank
+      FROM embeddings q, embeddings v
+      WHERE q.vec_id % 97 = 0 AND v.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    from scalpel_spark.annops import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 97 == 0)
+    out = cosine_topk(e, queries, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+@q("ann_lsh_topk", None)  # approximate (recall<1) — rows-only check
+def ann_lsh_topk(spark, sf_dir):
+    from scalpel_spark.annops import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 97 == 0)
+    return lsh_topk(e, queries, k=5)
+
+
+@q(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           CAST(ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000) AS BIGINT) AS norm_m
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return e.select(
+        "vec_id", "label", F.round(norm * 1000).cast("long").alias("norm_m")
+    )
