@@ -257,6 +257,7 @@ class CrawlEngine:
             )
             seeded.unpersist()
             start_round, seq_offset = 0, 0
+            pending_rows = tables["frontier_next"][1]
         else:
             manifest = self.store.read_manifest()
             entry = [r for r in manifest["rounds"] if r["round"] == last][0]
@@ -270,12 +271,15 @@ class CrawlEngine:
                     ).collect()
                 ]
             )
+            pending_rows = entry["tables"]["frontier_next"]["rows"]
 
         for rnd in range(start_round, self.max_rounds):
-            frontier = spark.read.parquet(self.store.table_path(rnd - 1, "frontier_next"))
-            n_pending = frontier.count()
+            # pending count comes from the previous round's committed
+            # parquet row count — no extra action per round
+            n_pending = pending_rows
             if n_pending == 0:
                 break
+            frontier = spark.read.parquet(self.store.table_path(rnd - 1, "frontier_next"))
 
             # --- politeness: two-phase salted top-k per host ------------
             cand = frontier.join(
@@ -384,6 +388,7 @@ class CrawlEngine:
             tables["bloom"] = self._write(bloom_df, rnd, "bloom")
 
             n_fetched = tables["fetched"][1]
+            pending_rows = tables["frontier_next"][1]
             seq_offset += n_fetched
             self.store.commit_round(
                 rnd,

@@ -46,6 +46,15 @@ class WorldParams:
     lossy_fraction: float = 0.25
     error_fraction: float = 0.03
     latin1_fraction: float = 0.05
+    #: fraction of pages used as seeds (None → ~1/50); 1.0 = every page
+    #: (single-mega-round saturation benchmarks)
+    seed_fraction: float | None = None
+    #: politeness budget range (robots.max_fetches_per_round)
+    budget_min: int = 2
+    budget_max: int = 8
+    #: multiplies comment blocks per page — fattens html for
+    #: compute-bound benchmarking
+    page_weight: int = 1
 
 
 def _host(h: int) -> str:
@@ -155,7 +164,7 @@ def generate_world(params: WorldParams):
                 else:
                     hrefs.append(target)
 
-        n_imgs = int(prng.integers(0, 4))
+        n_imgs = int(prng.integers(0, 4)) * params.page_weight
         img_ids = [
             f"img-{int(prng.integers(0, params.n_images)):08d}" for _ in range(n_imgs)
         ]
@@ -211,7 +220,12 @@ def generate_world(params: WorldParams):
         )
 
     srng = np.random.default_rng(params.seed * 97)
-    seed_idx = sorted(set(int(x) for x in srng.integers(0, n, size=max(3, n // 50))))
+    if params.seed_fraction is not None and params.seed_fraction >= 1.0:
+        seed_idx = list(range(n))
+    else:
+        frac = params.seed_fraction
+        n_seeds = max(3, n // 50) if frac is None else max(3, int(n * frac))
+        seed_idx = sorted(set(int(x) for x in srng.integers(0, n, size=n_seeds)))
     seeds = [{"url": page_urls[i], "priority": 1.0} for i in seed_idx]
 
     robots = []
@@ -221,7 +235,9 @@ def generate_world(params: WorldParams):
             {
                 "host": _host(h),
                 "crawl_delay_ms": int(hrng.integers(50, 500)),
-                "max_fetches_per_round": int(hrng.integers(2, 8)),
+                "max_fetches_per_round": int(
+                    hrng.integers(params.budget_min, params.budget_max)
+                ),
                 "disallow_prefixes": ["/private/"]
                 + (["/page/13"] if h % 5 == 0 else []),
             }

@@ -346,7 +346,10 @@ def q_session_windows(spark, sf_dir):
     # sessionization: 30-min inactivity gap → session counts per user
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # parquet timestamps load as TIMESTAMP_NTZ; go through LTZ (session is
+    # UTC) to get epoch seconds — matches DuckDB's naive date_diff
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = secs - F.lag(secs).over(w)
     sess = (
         e.withColumn("gap", gap)
         .withColumn(

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""N vs 4N scaling benchmark (BASELINE.json north_rule).
+
+No real multi-executor cluster exists in this sandbox, so — per the
+driver instruction — the same crawl job runs at two parallelism levels
+(default ``local[8]`` vs ``local[32]``) in separate JVMs on identical
+input, and throughput at both plus the scaling efficiency is written to
+``BENCH/BASELINE.md``.
+
+The measured job is one saturation BSP round: every page seeded, high
+politeness budgets → the full pipeline (window rank → resolver join →
+Arrow extraction → link dedup → bloom + anti-join → snapshot writes)
+processes the whole corpus in a single fat round, so throughput is
+dominated by parallel work, as it is at 10^10 scale where rounds are
+hours long and fixed per-round costs vanish.
+
+Usage: python scripts/scaling_bench.py [--pages 60000] [--low 8 --high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def ensure_world(n_pages: int) -> str:
+    from scalpel_spark.datagen.world import WorldParams, write_world
+
+    d = os.path.join(REPO, "data", f"scaling_world_{n_pages}")
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
+        print(f"generating scaling world ({n_pages} pages) ...", file=sys.stderr)
+        write_world(
+            d,
+            WorldParams(
+                seed=42,
+                n_hosts=400,
+                n_pages=n_pages,
+                n_images=2000,
+                seed_fraction=1.0,
+                budget_min=10**6,
+                budget_max=10**6 + 1,
+                page_weight=4,
+                mean_outlinks=8,
+            ),
+        )
+    return d
+
+
+def run_worker(cpus: int, world: str, rounds: int) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "scripts", "crawl_worker.py"),
+        "--cpus",
+        str(cpus),
+        "--world",
+        world,
+        "--rounds",
+        str(rounds),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd=REPO)
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", type=int, default=60000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--rounds", type=int, default=1)
+    args = ap.parse_args()
+
+    world = ensure_world(args.pages)
+    results = {}
+    for cpus in (args.low, args.high):
+        print(f"running crawl at local[{cpus}] ...", file=sys.stderr)
+        results[cpus] = run_worker(cpus, world, args.rounds)
+        print(results[cpus], file=sys.stderr)
+
+    lo, hi = results[args.low], results[args.high]
+    ratio = args.high / args.low
+    speedup = hi["urls_per_sec"] / lo["urls_per_sec"]
+    efficiency = speedup / ratio
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — crawl throughput + scaling efficiency
+
+Job: one saturation BSP round of the full crawl pipeline (politeness
+window-rank → resolver join → Arrow-batched image+link extraction →
+link dedup → bloom prefilter → exact seen anti-join → parquet snapshot
++ manifest commit) over a deterministic synthetic corpus
+({args.pages} pages, every page seeded, politeness non-binding), run at
+two parallelism levels in separate JVMs on identical input — the
+sandbox stand-in for N vs 4N executors (BASELINE.json north_rule; no
+real cluster available here).
+
+| parallelism | URLs fetched+extracted | wall sec | URLs/sec |
+| --- | --- | --- | --- |
+| local[{args.low}] (N) | {lo['urls']} | {lo['sec']} | {lo['urls_per_sec']} |
+| local[{args.high}] (4N) | {hi['urls']} | {hi['sec']} | {hi['urls_per_sec']} |
+
+* speedup {args.low}→{args.high} cores: **{speedup:.2f}×** (ideal {ratio:.0f}×)
+* **scaling efficiency: {efficiency:.2f}** (target ≥ 0.8)
+
+Recorded {time.strftime('%Y-%m-%d %H:%M:%S')} UTC; generate via
+`python scripts/scaling_bench.py --pages {args.pages}`.
+"""
+        )
+    print(
+        json.dumps(
+            {
+                "low": lo,
+                "high": hi,
+                "speedup": round(speedup, 3),
+                "scaling_efficiency": round(efficiency, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
