@@ -50,7 +50,12 @@ def ensure_world():
     from scalpel_spark.datagen.world import WorldParams, write_world
 
     marker = os.path.join(WORLD_DIR, "pages.parquet")
-    params = WorldParams(seed=42, n_hosts=120, n_pages=6000, n_images=1500)
+    # fat politeness budgets → compute-dominated rounds (the toy-scale
+    # stand-in for hour-long rounds at 10^10 scale)
+    params = WorldParams(
+        seed=42, n_hosts=120, n_pages=6000, n_images=1500,
+        budget_min=10, budget_max=30,
+    )
     if not os.path.exists(marker):
         write_world(WORLD_DIR, params)
     return params
@@ -97,23 +102,28 @@ def main() -> None:
     extras["extract_pages_per_sec"] = round(n_pages / dt, 1)
     extras["extract_records"] = n_rec
 
-    # --- end-to-end BSP crawl --------------------------------------------
-    import shutil
-    import tempfile
+    # --- end-to-end BSP crawl (fresh JVM via subprocess: long-lived
+    # sessions accumulate state that skews small-round timings) ----------
+    import subprocess
 
-    from scalpel_spark.crawl.engine import CrawlEngine
-
-    out = tempfile.mkdtemp(prefix="crawl_bench_")
-    try:
-        t0 = time.perf_counter()
-        eng = CrawlEngine(spark, WORLD_DIR, out, max_rounds=12)
-        summary = eng.run()
-        dt = time.perf_counter() - t0
-        timings["crawl_bsp_12_rounds"] = round(dt, 3)
-        extras["crawl_urls_fetched"] = summary["total_fetched"]
-        extras["crawl_urls_per_sec"] = round(summary["total_fetched"] / dt, 1)
-    finally:
-        shutil.rmtree(out, ignore_errors=True)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "scripts", "crawl_worker.py"),
+            "--cpus", str(CPUS), "--world", WORLD_DIR, "--rounds", "10",
+        ],
+        capture_output=True, text=True, cwd=repo,
+    )
+    if res.returncode == 0:
+        line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
+        crawl = json.loads(line)
+        timings["crawl_bsp_10_rounds"] = crawl["sec"]
+        extras["crawl_urls_fetched"] = crawl["urls"]
+        extras["crawl_urls_per_sec"] = crawl["urls_per_sec"]
+    else:
+        timings["crawl_bsp_10_rounds"] = -1.0
+        extras["crawl_error"] = res.stderr[-400:]
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

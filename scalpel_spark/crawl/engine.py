@@ -36,7 +36,18 @@ Scale notes (10^10 frontier, 1000 executors):
 from __future__ import annotations
 
 import os
+import sys
+import time
 from typing import Iterable
+
+_TRACE = os.environ.get("SCALPEL_CRAWL_TRACE", "") == "1"
+
+
+def _trace(msg: str, t0: float) -> float:
+    t = time.perf_counter()
+    if _TRACE:
+        print(f"[crawl-trace] {msg}: {t - t0:.2f}s", file=sys.stderr, flush=True)
+    return t
 
 import numpy as np
 import pandas as pd
@@ -373,19 +384,23 @@ class CrawlEngine:
             ).join(batch.select("url_hash"), "url_hash", "left_anti")
             frontier_next = remaining.unionByName(new_entries)
 
-            tables = {
-                "fetched": self._write(fetch_log, rnd, "fetched"),
-                "images": self._write(images, rnd, "images"),
-                "seen_delta": self._write(
-                    new_entries.select("url_hash", "url"), rnd, "seen_delta"
-                ),
-                "frontier_next": self._write(frontier_next, rnd, "frontier_next"),
-            }
+            t0 = time.perf_counter()
+            tables = {"fetched": self._write(fetch_log, rnd, "fetched")}
+            t0 = _trace(f"r{rnd} fetch+extract+write", t0)
+            tables["images"] = self._write(images, rnd, "images")
+            t0 = _trace(f"r{rnd} images write", t0)
+            tables["seen_delta"] = self._write(
+                new_entries.select("url_hash", "url"), rnd, "seen_delta"
+            )
+            t0 = _trace(f"r{rnd} links dedup+bloom+anti+write", t0)
+            tables["frontier_next"] = self._write(frontier_next, rnd, "frontier_next")
+            t0 = _trace(f"r{rnd} frontier write", t0)
             self._bloom_add_distributed(new_entries.select("url_hash"), "url_hash")
             bloom_df = spark.createDataFrame(
                 self.bloom.to_rows(), "shard int, m int, k int, bits binary"
             )
             tables["bloom"] = self._write(bloom_df, rnd, "bloom")
+            t0 = _trace(f"r{rnd} bloom update+write", t0)
 
             n_fetched = tables["fetched"][1]
             pending_rows = tables["frontier_next"][1]

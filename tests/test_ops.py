@@ -1,0 +1,154 @@
+"""Behavioral checks for training-pipeline ops beyond the SQL oracles:
+minhash/simhash actually find planted near-duplicates, ANN returns true
+neighbors, image ops decode/measure correctly."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions and the bloom filter prunes the anti join"
+    )
+    rows = [
+        (0, base),
+        (1, base + " exactly"),  # near-dup of 0
+        (2, base.replace("quick", "fast")),  # near-dup of 0
+        (3, "completely different text about databases and columnar formats"),
+        (4, "another unrelated document mentioning windows aggregates joins"),
+        (5, base),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_with_dups):
+    from scalpel_spark.textops import exact_dedup
+
+    out = {r.rep_doc_id: r.n_dupes for r in exact_dedup(docs_with_dups).collect()}
+    assert out[0] == 2  # docs 0 and 5
+    assert sum(out.values()) == 6
+
+
+def test_minhash_finds_planted_neardups(spark, docs_with_dups):
+    from scalpel_spark.textops import minhash_neardup
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_neardup(docs_with_dups, threshold=0.5).collect()
+    }
+    assert (0, 5) in pairs  # exact dup always survives
+    assert (0, 2) in pairs or (0, 1) in pairs  # near-dups found
+    assert not any(3 in p or 4 in p for p in pairs)  # unrelated docs never pair
+
+
+def test_simhash_finds_planted_neardups(spark, docs_with_dups):
+    from scalpel_spark.textops import simhash_neardup
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup(docs_with_dups, max_hamming=12).collect()
+    }
+    assert pairs.get((0, 5)) == 0
+    assert (0, 2) in pairs
+
+
+def test_lang_id(spark):
+    from scalpel_spark.textops import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is happy"),
+            (2, "der Hund ist nicht in das Haus und die Katze"),
+            (3, "le chat est dans la maison et il est content"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_ann_brute_force_finds_true_neighbor(spark):
+    from scalpel_spark.annops import cosine_topk
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = []
+    for i in range(50):
+        v = rng.standard_normal(16).astype(np.float32)
+        rows.append((i, [float(x) for x in v]))
+    # vec 100 ≈ vec 0 direction
+    rows.append((100, [float(x) for x in (np.array(rows[0][1]) + 0.01 * base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 100)
+    out = cosine_topk(df, q, k=1).collect()
+    assert out[0].neighbor_id == 0
+
+
+def test_lsh_topk_subset_of_bruteforce_space(spark):
+    from scalpel_spark.annops import lsh_topk
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16).astype(np.float32)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 3)
+    out = lsh_topk(df, q, k=3, n_planes=6)
+    rows = out.collect()
+    assert all(1 <= r.rank <= 3 for r in rows)
+    assert all(r.query_id != r.neighbor_id for r in rows)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark, tmp_path_factory):
+    from scalpel_spark.datagen.world import WorldParams, write_world
+
+    d = tmp_path_factory.mktemp("imgs")
+    write_world(str(d), WorldParams(n_hosts=2, n_pages=10, n_images=20))
+    return spark.read.parquet(str(d / "images.parquet"))
+
+
+def test_image_features_match_stored_phash(spark, images_df):
+    from scalpel_spark.imageops import image_features
+
+    feats = image_features(images_df).join(
+        images_df.select("image_id", "phash"), "image_id"
+    )
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.decode_ok
+        assert r.phash_check == r.phash  # stored phash == recomputed
+        assert 0 <= r.mean_r <= 255
+        assert sum(r.luma_hist) > 0
+
+
+def test_thumbnails_roundtrip(spark, images_df):
+    from scalpel_spark.datagen.images import decode_png
+    from scalpel_spark.imageops import thumbnails
+
+    rows = thumbnails(images_df, 8, 8).collect()
+    assert len(rows) == 20
+    for r in rows:
+        px = decode_png(bytes(r.thumb))
+        assert px.shape == (8, 8, 3)
+
+
+def test_phash_neardup_self_consistent(spark, images_df):
+    from scalpel_spark.imageops import phash_neardup
+
+    dup = images_df.select(
+        F.concat(F.lit("copy-"), "image_id").alias("image_id"), "phash"
+    )
+    both = images_df.select("image_id", "phash").unionByName(dup)
+    pairs = phash_neardup(both, max_hamming=0).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # every image pairs with its copy at distance 0
+    for r in images_df.select("image_id").collect():
+        a, b = sorted([r.image_id, f"copy-{r.image_id}"])
+        assert (a, b) in found
