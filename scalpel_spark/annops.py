@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .spark.util import spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -48,7 +50,7 @@ def cosine_topk(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         )
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vvec"))
+    v = spread(vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vvec")))
     sim = _dot(F.col("qvec"), F.col("vvec")) / (
         _norm(F.col("qvec")) * _norm(F.col("vvec"))
     )
@@ -97,7 +99,7 @@ def hyperplane_signatures(
             buckets = (bits.astype(np.int64) * weights).sum(axis=1)
             yield pd.DataFrame({id_col: pdf[id_col].tolist(), "bucket": buckets})
 
-    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+    return spread(df.select(id_col, vec_col)).mapInPandas(gen, schema)
 
 
 def lsh_topk(

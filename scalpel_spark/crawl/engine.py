@@ -164,20 +164,39 @@ class CrawlEngine:
     # ------------------------------------------------------------------
 
     def _seed_frontier(self) -> DataFrame:
+        """Distributed seed prep: canonicalize+hash in Arrow batches, then
+        dedupe by hash keeping the lexicographically-first URL (the
+        simulator's iteration order over url-sorted seeds)."""
         seeds = self.spark.read.parquet(os.path.join(self.corpus_dir, "seeds.parquet"))
-        pdf = seeds.toPandas()  # seed list is small by definition
-        rows = []
-        seen = set()
-        for r in pdf.sort_values("url").itertuples(index=False):
-            c = canonicalize_url(r.url)
-            if c is None:
-                continue
-            h = url_hash(c)
-            if h in seen:
-                continue
-            seen.add(h)
-            rows.append((c, h, url_host(c) or "", float(r.priority), 0, ""))
-        df = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
+
+        def canon(batches):
+            for pdf in batches:
+                rows = {"url": [], "url_hash": [], "host": [], "priority": []}
+                for r in pdf.itertuples(index=False):
+                    c = canonicalize_url(r.url)
+                    if c is None:
+                        continue
+                    rows["url"].append(c)
+                    rows["url_hash"].append(url_hash(c))
+                    rows["host"].append(url_host(c) or "")
+                    rows["priority"].append(float(r.priority))
+                yield pd.DataFrame(rows)
+
+        canonical = seeds.repartition(self.spark.sparkContext.defaultParallelism).mapInPandas(
+            canon, "url string, url_hash long, host string, priority double"
+        )
+        df = (
+            canonical.groupBy("url_hash")
+            .agg(F.min(F.struct("url", "priority", "host")).alias("s"))
+            .select(
+                F.col("s.url").alias("url"),
+                "url_hash",
+                F.col("s.host").alias("host"),
+                F.col("s.priority").alias("priority"),
+                F.lit(0).alias("depth"),
+                F.lit("").alias("parent_url"),
+            )
+        )
         # robots filter on seeds, same rule as links
         return self._filter_disallowed(df)
 
@@ -253,12 +272,15 @@ class CrawlEngine:
                     "default_budget": DEFAULT_BUDGET,
                 }
             )
+            t0 = time.perf_counter()
             seeded = self._seed_frontier().persist()
             tables = {
                 "frontier_next": self._write(seeded, -1, "frontier_next"),
                 "seen_delta": self._write(seeded.select("url_hash", "url"), -1, "seen_delta"),
             }
+            t0 = _trace("bootstrap seed+write", t0)
             self._bloom_add_distributed(seeded.select("url_hash"), "url_hash")
+            t0 = _trace("bootstrap bloom", t0)
             bloom_df = spark.createDataFrame(
                 self.bloom.to_rows(), "shard int, m int, k int, bits binary"
             )
@@ -315,9 +337,13 @@ class CrawlEngine:
             ).persist()
 
             # --- resolver join + extraction -----------------------------
+            # repartition after the join: the global fetch_seq window (and
+            # a possible broadcast of the batch side) would otherwise leave
+            # the python extraction stage on one/few partitions
+            par = max(self.spark.sparkContext.defaultParallelism * 2, 8)
             fetched_in = batch.join(
                 self.pages.select("url", "html", "status"), "url", "left"
-            )
+            ).repartition(par)
             extracted = fetched_in.mapInPandas(
                 lambda it: _extract_batches(it), _EXTRACT_SCHEMA
             ).persist()
@@ -395,12 +421,15 @@ class CrawlEngine:
             t0 = _trace(f"r{rnd} links dedup+bloom+anti+write", t0)
             tables["frontier_next"] = self._write(frontier_next, rnd, "frontier_next")
             t0 = _trace(f"r{rnd} frontier write", t0)
+            batch.unpersist()
+            extracted.unpersist()
             self._bloom_add_distributed(new_entries.select("url_hash"), "url_hash")
+            t0 = _trace(f"r{rnd} bloom delta build", t0)
             bloom_df = spark.createDataFrame(
                 self.bloom.to_rows(), "shard int, m int, k int, bits binary"
             )
             tables["bloom"] = self._write(bloom_df, rnd, "bloom")
-            t0 = _trace(f"r{rnd} bloom update+write", t0)
+            t0 = _trace(f"r{rnd} bloom write", t0)
 
             n_fetched = tables["fetched"][1]
             pending_rows = tables["frontier_next"][1]
@@ -416,8 +445,6 @@ class CrawlEngine:
                     "total_fetched": seq_offset,
                 },
             )
-            batch.unpersist()
-            extracted.unpersist()
             probed.unpersist()
             new_entries.unpersist()
             if n_fetched == 0:

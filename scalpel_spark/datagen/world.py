@@ -300,5 +300,9 @@ def write_world(out_dir: str, params: WorldParams) -> dict:
         schema = pa.schema([(c, _arrow_type(t)) for c, t in _SCHEMAS[name]])
         cols = {c: [r[c] for r in rows] for c, _ in _SCHEMAS[name]}
         table = pa.Table.from_pydict(cols, schema=schema)
-        pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+        # bounded row groups: a single-row-group file can only ever be
+        # scanned by ONE Spark task regardless of split size
+        pq.write_table(
+            table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=2048
+        )
     return world

@@ -93,7 +93,9 @@ def extract_records(
             pf = prefilter
         if pf is not None:
             in_df = in_df.filter(pf)
-    in_df = in_df.select(*carry_cols, html_col)
+    from .util import spread
+
+    in_df = spread(in_df.select(*carry_cols, html_col))
 
     carry_struct = [in_df.schema[c] for c in carry_cols]
     full_schema = T.StructType(carry_struct + list(out_struct.fields))

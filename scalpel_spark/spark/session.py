@@ -37,8 +37,13 @@ def get_spark(
         # html payloads are fat rows — keep Arrow batches bounded so the
         # Python workers never hold more than a few MB per batch
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # fat-row corpora (html/binary): smaller scan splits → real scan
+        # parallelism even on single-file parquet
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver-only: give the single JVM real headroom
+        # (32 task threads × arrow batches + cached corpus + shuffles)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

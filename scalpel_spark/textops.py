@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .crawl.bloom import _fmix64_np
+from .spark.util import spread
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -103,7 +104,7 @@ def minhash_signatures(
                 sigs.append(m.min(axis=0).astype(np.int64).tolist())
             yield pd.DataFrame({id_col: ids, "sig": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return spread(df.select(id_col, text_col)).mapInPandas(gen, schema)
 
 
 def lsh_candidate_pairs(
@@ -206,7 +207,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
                 out.append(v - (1 << 64) if v >= (1 << 63) else v)
             yield pd.DataFrame({id_col: pdf[id_col].tolist(), "simhash": out})
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return spread(df.select(id_col, text_col)).mapInPandas(gen, schema)
 
 
 def simhash_neardup(df: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -289,7 +290,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
                 {id_col: pdf[id_col].tolist(), "lang_pred": preds, "lang_conf": confs}
             )
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return spread(df.select(id_col, text_col)).mapInPandas(gen, schema)
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -340,4 +341,4 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
                 fps.append(h - (1 << 64) if h >= (1 << 63) else h)
             yield pd.DataFrame({id_col: pdf[id_col].tolist(), "fingerprint": fps})
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema)
+    return spread(df.select(id_col, text_col)).mapInPandas(gen, schema)
