@@ -306,7 +306,9 @@ class CrawlEngine:
             )
             pending_rows = entry["tables"]["frontier_next"]["rows"]
 
+        rounds_sec = 0.0
         for rnd in range(start_round, self.max_rounds):
+            round_t0 = time.perf_counter()
             # pending count comes from the previous round's committed
             # parquet row count — no extra action per round
             n_pending = pending_rows
@@ -335,6 +337,10 @@ class CrawlEngine:
             batch = batch.withColumn(
                 "fetch_seq", F.row_number().over(wseq) - 1 + F.lit(seq_offset)
             ).persist()
+            if _TRACE:
+                tt = time.perf_counter()
+                batch.count()
+                _trace(f"r{rnd} politeness batch", tt)
 
             # --- resolver join + extraction -----------------------------
             # repartition after the join: the global fetch_seq window (and
@@ -347,6 +353,10 @@ class CrawlEngine:
             extracted = fetched_in.mapInPandas(
                 lambda it: _extract_batches(it), _EXTRACT_SCHEMA
             ).persist()
+            if _TRACE:
+                tt = time.perf_counter()
+                extracted.count()
+                _trace(f"r{rnd} resolver+extract materialize", tt)
 
             fetch_log = extracted.select(
                 "fetch_seq",
@@ -395,6 +405,10 @@ class CrawlEngine:
             )
             allowed = self._filter_disallowed(deduped)
             probed = self._bloom_maybe_seen(allowed, "url_hash").persist()
+            if _TRACE:
+                tt = time.perf_counter()
+                probed.count()
+                _trace(f"r{rnd} links dedup+robots+bloom probe", tt)
             definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
             seen_paths = self._seen_paths(rnd)
@@ -447,10 +461,15 @@ class CrawlEngine:
             )
             probed.unpersist()
             new_entries.unpersist()
+            rounds_sec += time.perf_counter() - round_t0
             if n_fetched == 0:
                 break
 
-        return {"total_fetched": seq_offset, "rounds": self.store.read_manifest()["rounds"]}
+        return {
+            "total_fetched": seq_offset,
+            "rounds_sec": round(rounds_sec, 2),
+            "rounds": self.store.read_manifest()["rounds"],
+        }
 
     # ------------------------------------------------------------------
 

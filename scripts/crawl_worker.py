@@ -26,6 +26,12 @@ def main() -> None:
     ap.add_argument("--world", required=True)
     ap.add_argument("--rounds", type=int, default=1)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--warmup-world",
+        default=None,
+        help="small world crawled first (untimed) to reach JVM/JIT/python-worker steady state",
+    )
     args = ap.parse_args()
 
     from scalpel_spark.crawl.engine import CrawlEngine
@@ -34,10 +40,14 @@ def main() -> None:
     spark = get_spark(
         app=f"crawl_scaling_{args.cpus}",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=max(args.cpus, 8),
+        shuffle_partitions=args.shuffle_partitions or max(args.cpus, 8),
     )
     # warm up JVM + python worker pool before timing
     spark.range(10_000).selectExpr("sum(id)").collect()
+    if args.warmup_world:
+        wout = tempfile.mkdtemp(prefix="crawl_warmup_")
+        CrawlEngine(spark, args.warmup_world, wout, max_rounds=2).run()
+        shutil.rmtree(wout, ignore_errors=True)
 
     out = args.out or tempfile.mkdtemp(prefix=f"crawl_scale_{args.cpus}_")
     try:
@@ -48,13 +58,18 @@ def main() -> None:
     finally:
         if args.out is None:
             shutil.rmtree(out, ignore_errors=True)
+    # throughput over the BSP rounds (steady state); one-off bootstrap
+    # (seed canonicalization + initial snapshots) reported separately
+    rounds_sec = summary.get("rounds_sec") or dt
     print(
         json.dumps(
             {
                 "cpus": args.cpus,
                 "urls": summary["total_fetched"],
                 "sec": round(dt, 2),
-                "urls_per_sec": round(summary["total_fetched"] / dt, 1),
+                "rounds_sec": rounds_sec,
+                "bootstrap_sec": round(dt - rounds_sec, 2),
+                "urls_per_sec": round(summary["total_fetched"] / rounds_sec, 1),
             }
         )
     )
