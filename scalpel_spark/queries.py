@@ -529,6 +529,97 @@ def scrape_class_filter(spark, sf_dir):
     return out.select("doc_id", F.explode("keeps").alias("keep"))
 
 
+@q(
+    "scrape_at_depth",
+    "SELECT doc_id, lang AS txt FROM documents",
+)
+def scrape_at_depth(spark, sf_dir):
+    """`atDepth 1` selects only direct children (Combinators.hs:81-88):
+    the nested <a> at depth 2 must not match."""
+    from scalpel_spark import tag, texts
+    from scalpel_spark.spark.extract import extract_records
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<div><a>"), F.col("lang"),
+            F.lit("</a><div><a>"), F.col("source"), F.lit("</a></div></div>"),
+        ).alias("html"),
+    )
+    scraper = texts(tag("div") // tag("a").at_depth(1))
+    out = extract_records(df, scraper, "txts array<string>", carry_cols=["doc_id"], explode=False)
+    return out.select("doc_id", F.explode("txts").alias("txt"))
+
+
+@q(
+    "scrape_attr_regex",
+    """
+    SELECT doc_id, 'i' || CAST(doc_id AS VARCHAR) || '.png' AS src
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def scrape_attr_regex(spark, sf_dir):
+    """`@=~` regex attribute predicate (Combinators.hs:43-48)."""
+    from scalpel_spark import attr_re, attrs, tag
+    from scalpel_spark.spark.extract import extract_records
+
+    d = _t(spark, sf_dir, "documents")
+    cls = F.when(F.col("doc_id") % 2 == 0, F.lit("keep-x")).otherwise(F.lit("drop-x"))
+    df = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<img class='"), cls, F.lit("' src='i"),
+            F.col("doc_id").cast("string"), F.lit(".png'>"),
+        ).alias("html"),
+    )
+    scraper = attrs("src", tag("img", attr_re("class", "^keep-")))
+    out = extract_records(df, scraper, "srcs array<string>", carry_cols=["doc_id"], explode=False)
+    return out.select("doc_id", F.explode("srcs").alias("src"))
+
+
+@q(
+    "scrape_inner_html",
+    "SELECT doc_id, '<b>' || lang || '</b>' AS inner_h FROM documents",
+)
+def scrape_inner_html(spark, sf_dir):
+    """innerHTML excludes the selected tags (Scrape.hs:160-171)."""
+    from scalpel_spark import inner_html, tag
+    from scalpel_spark.spark.extract import extract_records
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id",
+        F.concat(F.lit("<div><b>"), F.col("lang"), F.lit("</b></div>")).alias("html"),
+    )
+    return extract_records(
+        df, inner_html(tag("div")), "inner_h string", carry_cols=["doc_id"]
+    )
+
+
+@q(
+    "scrape_alternative",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN lang ELSE source END AS picked
+    FROM documents
+    """,
+)
+def scrape_alternative(spark, sf_dir):
+    """`<|>` backtracking choice (Scrape.hs Alternative; TestMain.hs:186-196)."""
+    from scalpel_spark import tag, text
+    from scalpel_spark.spark.extract import extract_records
+
+    d = _t(spark, sf_dir, "documents")
+    body = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("<em>"), F.col("lang"), F.lit("</em>")),
+    ).otherwise(F.concat(F.lit("<strong>"), F.col("source"), F.lit("</strong>")))
+    df = d.select("doc_id", F.concat(F.lit("<p>"), body, F.lit("</p>")).alias("html"))
+    scraper = text(tag("em")) | text(tag("strong"))
+    return extract_records(df, scraper, "picked string", carry_cols=["doc_id"])
+
+
 # ===========================================================================
 # crawl-layer operators with SQL oracles
 # ===========================================================================
