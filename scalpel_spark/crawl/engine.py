@@ -328,15 +328,38 @@ class CrawlEngine:
                 .where(F.col("r1") <= F.col("budget"))
             )
             w2 = Window.partitionBy("host").orderBy(*order)
-            batch = (
+            ranked = (
                 pre.withColumn("rank", F.row_number().over(w2) - 1)
                 .where(F.col("rank") < F.col("budget"))
                 .drop("salt", "r1", "budget")
-            )
-            wseq = Window.orderBy(F.asc("host"), F.asc("rank"))
-            batch = batch.withColumn(
-                "fetch_seq", F.row_number().over(wseq) - 1 + F.lit(seq_offset)
             ).persist()
+            # global fetch_seq = offset + position in (host ASC, rank ASC)
+            # order, WITHOUT a single-partition global window: per-host
+            # counts (tiny: one row per host) get exclusive cumulative
+            # offsets, broadcast back, and fetch_seq = host_base + rank.
+            w_host = Window.orderBy("host").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            host_base = (
+                ranked.groupBy("host")
+                .agg(F.max("rank").alias("mx"))
+                .select(
+                    "host",
+                    F.coalesce(F.sum(F.col("mx") + 1).over(w_host), F.lit(0)).alias(
+                        "host_base"
+                    ),
+                )
+            )
+            batch = (
+                ranked.join(F.broadcast(host_base), "host")
+                .withColumn(
+                    "fetch_seq",
+                    (F.col("host_base") + F.col("rank") + F.lit(seq_offset)).cast(
+                        "long"
+                    ),
+                )
+                .drop("host_base")
+            )
             if _TRACE:
                 tt = time.perf_counter()
                 batch.count()
@@ -435,7 +458,7 @@ class CrawlEngine:
             t0 = _trace(f"r{rnd} links dedup+bloom+anti+write", t0)
             tables["frontier_next"] = self._write(frontier_next, rnd, "frontier_next")
             t0 = _trace(f"r{rnd} frontier write", t0)
-            batch.unpersist()
+            ranked.unpersist()
             extracted.unpersist()
             self._bloom_add_distributed(new_entries.select("url_hash"), "url_hash")
             t0 = _trace(f"r{rnd} bloom delta build", t0)

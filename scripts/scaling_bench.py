@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 def ensure_world(n_pages: int) -> str:
     from scalpel_spark.datagen.world import WorldParams, write_world
 
-    d = os.path.join(REPO, "data", f"scaling_world_{n_pages}")
+    d = os.path.join(REPO, "data", f"scaling_world_{n_pages}_w24")
     if not os.path.exists(os.path.join(d, "pages.parquet")):
         print(f"generating scaling world ({n_pages} pages) ...", file=sys.stderr)
         write_world(
@@ -46,7 +46,7 @@ def ensure_world(n_pages: int) -> str:
                 seed_fraction=0.05,
                 budget_min=10**6,
                 budget_max=10**6 + 1,
-                page_weight=8,
+                page_weight=24,
                 mean_outlinks=10,
             ),
         )
