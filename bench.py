@@ -107,11 +107,14 @@ def main() -> None:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    # measured on this host: >16 spark task threads over-subscribe the
+    # effective cores (vCPU ≠ core) and *degrade*; cap the crawl JVM
+    crawl_cpus = min(CPUS, 16)
     res = subprocess.run(
         [
             sys.executable,
             os.path.join(repo, "scripts", "crawl_worker.py"),
-            "--cpus", str(CPUS), "--world", WORLD_DIR, "--rounds", "10",
+            "--cpus", str(crawl_cpus), "--world", WORLD_DIR, "--rounds", "10",
         ],
         capture_output=True, text=True, cwd=repo,
     )

@@ -28,6 +28,16 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument(
+        "--attempts", type=int, default=1,
+        help="run the measured job N times in-process, report the min "
+        "(robust to this host's hypervisor-steal noise)",
+    )
+    ap.add_argument(
+        "--mode", choices=["crawl", "kernel"], default="crawl",
+        help="crawl: full BSP crawl; kernel: fetch+extract kernel only "
+        "(resolver-shaped scan → Arrow extraction of images+links)",
+    )
+    ap.add_argument(
         "--warmup-world",
         default=None,
         help="small world crawled first (untimed) to reach JVM/JIT/python-worker steady state",
@@ -49,30 +59,78 @@ def main() -> None:
         CrawlEngine(spark, args.warmup_world, wout, max_rounds=2).run()
         shutil.rmtree(wout, ignore_errors=True)
 
-    out = args.out or tempfile.mkdtemp(prefix=f"crawl_scale_{args.cpus}_")
-    try:
-        t0 = time.perf_counter()
-        eng = CrawlEngine(spark, args.world, out, max_rounds=args.rounds)
-        summary = eng.run()
-        dt = time.perf_counter() - t0
-    finally:
-        if args.out is None:
-            shutil.rmtree(out, ignore_errors=True)
+    if args.mode == "kernel":
+        import os as _os
+
+        from scalpel_spark import any_selector, attr, attrs, chroots, sdo, tag
+        from scalpel_spark.spark.extract import extract_records
+
+        pages = spark.read.parquet(_os.path.join(args.world, "pages.parquet")).select(
+            "url", "html"
+        )
+        scraper = sdo(
+            chroots("img", sdo(attr("src", any_selector), attr("alt", any_selector))),
+            attrs("href", tag("a")),
+        )
+        n_pages = pages.count()
+
+        def run_once():
+            return extract_records(
+                pages,
+                scraper,
+                "imgs array<struct<src:string,alt:string>>, links array<string>",
+                carry_cols=["url"],
+                explode=False,
+            ).count()
+
+        run_once()  # warm
+        best = None
+        for _ in range(max(args.attempts, 1)):
+            t0 = time.perf_counter()
+            run_once()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        print(
+            json.dumps(
+                {
+                    "cpus": args.cpus,
+                    "mode": "kernel",
+                    "urls": n_pages,
+                    "rounds_sec": round(best, 2),
+                    "sec": round(best, 2),
+                    "bootstrap_sec": 0.0,
+                    "urls_per_sec": round(n_pages / best, 1),
+                }
+            )
+        )
+        return
+
+    best = None
+    for _ in range(max(args.attempts, 1)):
+        out = args.out or tempfile.mkdtemp(prefix=f"crawl_scale_{args.cpus}_")
+        try:
+            t0 = time.perf_counter()
+            eng = CrawlEngine(spark, args.world, out, max_rounds=args.rounds)
+            summary = eng.run()
+            dt = time.perf_counter() - t0
+        finally:
+            if args.out is None:
+                shutil.rmtree(out, ignore_errors=True)
+        rounds_sec = summary.get("rounds_sec") or dt
+        rec = {
+            "cpus": args.cpus,
+            "mode": "crawl",
+            "urls": summary["total_fetched"],
+            "sec": round(dt, 2),
+            "rounds_sec": rounds_sec,
+            "bootstrap_sec": round(dt - rounds_sec, 2),
+            "urls_per_sec": round(summary["total_fetched"] / rounds_sec, 1),
+        }
+        if best is None or rec["rounds_sec"] < best["rounds_sec"]:
+            best = rec
     # throughput over the BSP rounds (steady state); one-off bootstrap
     # (seed canonicalization + initial snapshots) reported separately
-    rounds_sec = summary.get("rounds_sec") or dt
-    print(
-        json.dumps(
-            {
-                "cpus": args.cpus,
-                "urls": summary["total_fetched"],
-                "sec": round(dt, 2),
-                "rounds_sec": rounds_sec,
-                "bootstrap_sec": round(dt - rounds_sec, 2),
-                "urls_per_sec": round(summary["total_fetched"] / rounds_sec, 1),
-            }
-        )
-    )
+    print(json.dumps(best))
 
 
 if __name__ == "__main__":
