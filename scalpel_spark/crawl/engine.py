@@ -366,10 +366,10 @@ class CrawlEngine:
                 _trace(f"r{rnd} politeness batch", tt)
 
             # --- resolver join + extraction -----------------------------
-            # repartition after the join: the global fetch_seq window (and
-            # a possible broadcast of the batch side) would otherwise leave
-            # the python extraction stage on one/few partitions
-            par = max(self.spark.sparkContext.defaultParallelism * 2, 8)
+            # repartition after the join: the resolver join would otherwise
+            # leave the python extraction stage on the (possibly few) scan
+            # partitions; 4× slots keeps task waves balanced
+            par = max(self.spark.sparkContext.defaultParallelism * 4, 8)
             fetched_in = batch.join(
                 self.pages.select("url", "html", "status"), "url", "left"
             ).repartition(par)

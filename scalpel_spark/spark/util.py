@@ -16,7 +16,11 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     it parallelizes. No-op when the input is already wide enough.
     """
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
+    slots = spark.sparkContext.defaultParallelism
+    # 4× slots: enough granularity that the last wave's tail wastes <25%
+    # of one wave (e.g. 18 partitions on 8 slots = 3 ragged waves at 75%
+    # utilization; 32 on 8 = 4 even waves)
+    target = min_partitions or slots * 4
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
