@@ -54,6 +54,23 @@ def ensure_world(n_pages: int) -> str:
     return d
 
 
+def ensure_heavy_world(n_pages: int) -> str:
+    from scalpel_spark.datagen.world import WorldParams, write_world
+
+    d = os.path.join(REPO, "data", f"scaling_world_{n_pages}_w24")
+    if not os.path.exists(os.path.join(d, "pages.parquet")):
+        print(f"generating heavy world ({n_pages} pages) ...", file=sys.stderr)
+        write_world(
+            d,
+            WorldParams(
+                seed=42, n_hosts=400, n_pages=n_pages, n_images=2000,
+                seed_fraction=0.05, budget_min=10**6, budget_max=10**6 + 1,
+                page_weight=24, mean_outlinks=10,
+            ),
+        )
+    return d
+
+
 def ensure_warmup_world() -> str:
     from scalpel_spark.datagen.world import WorldParams, write_world
 
@@ -99,6 +116,12 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument(
+        "--kernel-world", default=None,
+        help="world for the kernel measurement (default: heavy ~25KB-page "
+        "variant of the main world — realistic page sizes make the kernel "
+        "compute-dominated as it is at production scale)",
+    )
     # This sandbox shows 2-10× run-to-run variance for identical Spark
     # jobs (host-level noise; pure-CPU tests stay stable). Interleave
     # repeats and take the best per level — min is the robust estimator
@@ -107,13 +130,20 @@ def main() -> None:
     args = ap.parse_args()
 
     world = ensure_world(args.pages)
+    kernel_world = args.kernel_world or ensure_heavy_world(args.pages)
     warmup = ensure_warmup_world()
     results: dict = {"crawl": {}, "kernel": {}}
     for mode in ("crawl", "kernel"):
         for cpus in (args.low, args.high):
             print(f"[{mode}] at local[{cpus}] ...", file=sys.stderr)
-            r = run_worker(cpus, world, args.rounds, warmup=warmup, mode=mode,
-                           attempts=args.repeats)
+            r = run_worker(
+                cpus,
+                world if mode == "crawl" else kernel_world,
+                args.rounds,
+                warmup=warmup,
+                mode=mode,
+                attempts=args.repeats,
+            )
             print(r, file=sys.stderr)
             results[mode][cpus] = r
 
