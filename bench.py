@@ -46,6 +46,11 @@ BENCH_QUERIES = [
 ]
 
 
+WARMUP_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "bench_warmup"
+)
+
+
 def ensure_world():
     from scalpel_spark.datagen.world import WorldParams, write_world
 
@@ -58,6 +63,12 @@ def ensure_world():
     )
     if not os.path.exists(marker):
         write_world(WORLD_DIR, params)
+    if not os.path.exists(os.path.join(WARMUP_DIR, "pages.parquet")):
+        write_world(
+            WARMUP_DIR,
+            WorldParams(seed=7, n_hosts=20, n_pages=800, n_images=100,
+                        seed_fraction=1.0, budget_min=10**6, budget_max=10**6 + 1),
+        )
     return params
 
 
@@ -115,13 +126,14 @@ def main() -> None:
             sys.executable,
             os.path.join(repo, "scripts", "crawl_worker.py"),
             "--cpus", str(crawl_cpus), "--world", WORLD_DIR, "--rounds", "10",
+            "--warmup-world", WARMUP_DIR,
         ],
         capture_output=True, text=True, cwd=repo,
     )
     if res.returncode == 0:
         line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
         crawl = json.loads(line)
-        timings["crawl_bsp_10_rounds"] = crawl["sec"]
+        timings["crawl_bsp_10_rounds"] = crawl["rounds_sec"]
         extras["crawl_urls_fetched"] = crawl["urls"]
         extras["crawl_urls_per_sec"] = crawl["urls_per_sec"]
     else:
