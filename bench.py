@@ -125,7 +125,7 @@ def main() -> None:
         [
             sys.executable,
             os.path.join(repo, "scripts", "crawl_worker.py"),
-            "--cpus", str(crawl_cpus), "--world", WORLD_DIR, "--rounds", "10",
+            "--cpus", str(crawl_cpus), "--world", WORLD_DIR, "--rounds", "6",
             "--warmup-world", WARMUP_DIR,
         ],
         capture_output=True, text=True, cwd=repo,
@@ -133,11 +133,11 @@ def main() -> None:
     if res.returncode == 0:
         line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]
         crawl = json.loads(line)
-        timings["crawl_bsp_10_rounds"] = crawl["rounds_sec"]
+        timings["crawl_bsp_6_rounds"] = crawl["rounds_sec"]
         extras["crawl_urls_fetched"] = crawl["urls"]
         extras["crawl_urls_per_sec"] = crawl["urls_per_sec"]
     else:
-        timings["crawl_bsp_10_rounds"] = -1.0
+        timings["crawl_bsp_6_rounds"] = -1.0
         extras["crawl_error"] = res.stderr[-400:]
 
     total = round(sum(timings.values()), 3)
