@@ -127,6 +127,9 @@ def main() -> None:
             os.path.join(repo, "scripts", "crawl_worker.py"),
             "--cpus", str(crawl_cpus), "--world", WORLD_DIR, "--rounds", "6",
             "--warmup-world", WARMUP_DIR,
+            # best-of-3 in one JVM: this host's hypervisor steal makes a
+            # single run a 2-10x lottery (see BENCH/BASELINE.md method)
+            "--attempts", "3",
         ],
         capture_output=True, text=True, cwd=repo,
     )

@@ -77,6 +77,25 @@ def build_bits(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
     return bits
 
 
+def contains_in_bits(bits: np.ndarray, hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Membership probe against a single shard's bitset — the kernel of
+    the co-grouped (partitioned-table) probe path, where each task holds
+    exactly one shard's OR-merged rows."""
+    hashes = np.asarray(hashes, dtype=np.int64)
+    if hashes.size == 0:
+        return np.zeros(0, dtype=bool)
+    h1, h2 = probe_arrays(hashes)
+    ok = np.ones(hashes.size, dtype=bool)
+    mm = _U64(m)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            idx = (h1 + _U64(i) * h2) % mm
+            byte = bits[(idx >> _U64(3)).astype(np.int64)]
+            bit = (byte >> (idx & _U64(7)).astype(np.uint8)) & 1
+            ok &= bit.astype(bool)
+    return ok
+
+
 class BloomShards:
     """``n_shards`` independent bitsets; key → shard by high bits of the
     (already murmur3-derived) 64-bit hash, bit probes by

@@ -12,25 +12,49 @@ One round (SURVEY §3.4):
     → link dedup         (min-by-parent-fetch-seq groupBy — matches the
                           simulator's first-discoverer-wins rule)
     → robots filter      (broadcast join + JVM-side prefix check)
-    → bloom prefilter    (broadcast shards; definite-new rows BYPASS the
-                          anti-join; only maybe-seen rows shuffle)
-    → seen anti-join     (exact decision; bloom is prune-only)
-    → append deltas + next-frontier snapshot + manifest commit
+    → bloom prefilter    (definite-new rows BYPASS the anti-join; only
+                          maybe-seen rows shuffle)
+    → seen anti-join     (exact decision on (url_hash, url); bloom is
+                          prune-only, so exactness never depends on fpp)
+    → two writes + manifest commit
+
+Fixed per-round cost budget (the thing that decides N→4N scaling at a
+fixed round count): exactly THREE Spark actions per round —
+
+  1. write ``round_data``    (politeness + resolver + extraction; the
+                              fetch log and the image records are column
+                              /explode VIEWS over this one table)
+  2. write ``frontier_next`` (link dedup + robots + bloom + anti-join;
+                              partitioned by ``is_new`` so the seen
+                              table is the union of the ``is_new=true``
+                              partitions — no separate seen write)
+  3. bloom delta update      (broadcast mode: collect of n_shards tiny
+                              delta rows; partitioned mode: distributed
+                              append of delta shard rows — no driver
+                              traffic at all)
+
+Row counts and per-round metrics come from ``Observation`` metrics
+attached to the two writes — the data is never re-read to count it.
 
 Scale notes (10^10 frontier, 1000 executors):
 * the full frontier is never collected; every per-round structure is a
-  DataFrame. Driver state = bloom shards (size independent of row
-  count) + scalar counters.
+  DataFrame. Driver state = bloom shards (broadcast mode only) + scalar
+  counters; in partitioned mode the bloom lives only as a sharded
+  parquet table probed via a co-grouped join.
 * politeness ranking partitions by host; hot hosts are pre-pruned by a
   salted first-phase top-k so no partition ever sees more than
   ``n_salts × budget`` rows per host.
 * global fetch_seq is a row_number over the *politeness-bounded* batch
-  (≤ Σ per-host budgets per round), not over the frontier.
-* bloom shards are built distributively (groupBy(shard).applyInPandas)
-  and OR-merged on the driver — bytes moved per round = shard bytes,
-  not keys.
+  (≤ Σ per-host budgets per round), not over the frontier; the
+  host-order prefix sum is a two-level scan (range-partitioned local
+  cumsum + a partition-offset pass over ≤ shuffle-partitions rows), so
+  no window ever runs on a single partition regardless of host
+  cardinality.
 * exact resume: state lives in per-round parquet + manifest
-  (tableio.SnapshotStore); a torn round never commits.
+  (tableio.SnapshotStore); a torn round never commits. The broadcast
+  bloom is rebuilt from the committed seen rows on resume (one
+  distributed job) — extra bits from a torn round are false positives
+  only, which the anti-join absorbs.
 """
 
 from __future__ import annotations
@@ -51,11 +75,11 @@ def _trace(msg: str, t0: float) -> float:
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .bloom import BloomShards, build_bits
+from .bloom import BloomShards, build_bits, contains_in_bits
 from .logic import DEFAULT_BUDGET, PRIORITY_DECAY, extract_page, url_hash
 from .tableio import SnapshotStore
 from .urlnorm import canonicalize_url, url_host
@@ -101,6 +125,8 @@ _EXTRACT_SCHEMA = T.StructType(
     ]
 )
 
+_FETCH_COLS = ["fetch_seq", "round", "url", "url_hash", "host", "parent_url", "status", "n_images"]
+
 
 def _extract_batches(batches: Iterable[pd.DataFrame]):
     """mapInPandas kernel: fetched pages → extraction rows (one out-row
@@ -134,6 +160,18 @@ def _extract_batches(batches: Iterable[pd.DataFrame]):
 
 
 class CrawlEngine:
+    """``bloom_mode``:
+
+    * ``"broadcast"`` (default, right for crawls whose bloom fits one
+      executor): shards live on the driver, are broadcast for the probe,
+      and each round's delta comes back as ``n_shards`` tiny rows.
+    * ``"partitioned"`` (the 10^10 path, SURVEY §4.3): the bloom is ONLY
+      a sharded parquet table; the probe is a co-grouped
+      ``applyInPandas`` join on ``shard`` (no broadcast, no driver
+      bytes), and each round appends delta shard rows (near-empty
+      bitsets compress to ~nothing) with periodic OR-compaction.
+    """
+
     def __init__(
         self,
         spark: SparkSession,
@@ -144,13 +182,18 @@ class CrawlEngine:
         bloom_shards: int = 16,
         bloom_bits_per_shard: int = 1 << 20,
         bloom_k: int = 7,
+        bloom_mode: str = "broadcast",
+        bloom_compact_every: int = 16,
     ):
+        assert bloom_mode in ("broadcast", "partitioned")
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.store = SnapshotStore(out_dir)
         self.max_rounds = max_rounds
         self.n_salts = n_salts
         self._bloom_cfg = (bloom_shards, bloom_bits_per_shard, bloom_k)
+        self.bloom_mode = bloom_mode
+        self.bloom_compact_every = bloom_compact_every
         self.bloom = BloomShards(bloom_shards, bloom_bits_per_shard, bloom_k)
 
         self.pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
@@ -160,12 +203,19 @@ class CrawlEngine:
             F.col("max_fetches_per_round").alias("budget"),
             F.col("disallow_prefixes").alias("disallow"),
         )
+        # known-host cardinality decides the fetch_seq prefix-sum shape:
+        # below the threshold a single window over one-row-per-host is
+        # cheapest; above it the two-level range-partitioned scan keeps
+        # every window partition-parallel (one tiny count job, at init
+        # only — never per round)
+        self._n_known_hosts = robots.count()
+        self._two_level_scan = self._n_known_hosts > 100_000
 
     # ------------------------------------------------------------------
 
     def _seed_frontier(self) -> DataFrame:
         """Distributed seed prep: canonicalize+hash in Arrow batches, then
-        dedupe by hash keeping the lexicographically-first URL (the
+        dedupe by exact URL keeping the lowest priority-order entry (the
         simulator's iteration order over url-sorted seeds)."""
         seeds = self.spark.read.parquet(os.path.join(self.corpus_dir, "seeds.parquet"))
 
@@ -186,10 +236,13 @@ class CrawlEngine:
             canon, "url string, url_hash long, host string, priority double"
         )
         df = (
-            canonical.groupBy("url_hash")
-            .agg(F.min(F.struct("url", "priority", "host")).alias("s"))
+            canonical.groupBy("url")
+            .agg(
+                F.min("url_hash").alias("url_hash"),
+                F.min(F.struct("url", "priority", "host")).alias("s"),
+            )
             .select(
-                F.col("s.url").alias("url"),
+                "url",
                 "url_hash",
                 F.col("s.host").alias("host"),
                 F.col("s.priority").alias("priority"),
@@ -209,29 +262,68 @@ class CrawlEngine:
         ).otherwise(F.lit(False))
         return joined.where(~blocked).drop("disallow")
 
+    # --- bloom ---------------------------------------------------------
+
+    @property
+    def _bloom_table(self) -> str:
+        return os.path.join(self.store.root, "bloom_table")
+
+    def _shard_expr(self, hash_col: str):
+        n_shards = self._bloom_cfg[0]
+        return F.pmod(F.shiftrightunsigned(F.col(hash_col), 48), F.lit(n_shards)).cast("int")
+
     def _bloom_maybe_seen(self, df: DataFrame, hash_col: str) -> DataFrame:
-        """Adds boolean ``maybe_seen`` via broadcast bloom shards."""
-        rows = self.bloom.to_rows()
-        bc = self.spark.sparkContext.broadcast(rows)
+        """Adds boolean ``maybe_seen``.
+
+        Broadcast mode sends the driver shards to every task; partitioned
+        mode co-groups rows with their shard's bitset rows on ``shard`` —
+        bytes moved per task = one shard, independent of crawl size."""
+        names = df.schema.fieldNames()
         schema = T.StructType(
             df.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
         )
-        names = df.schema.fieldNames()
+        if self.bloom_mode == "broadcast":
+            bc = self.spark.sparkContext.broadcast(self.bloom.to_rows())
 
-        def probe(batches):
-            bf = BloomShards.from_rows(bc.value)
-            for pdf in batches:
-                hashes = pdf[hash_col].to_numpy(dtype=np.int64)
-                pdf = pdf.copy()
-                pdf["maybe_seen"] = bf.contains_many(hashes)
-                yield pdf[names + ["maybe_seen"]]
+            def probe(batches):
+                bf = BloomShards.from_rows(bc.value)
+                for pdf in batches:
+                    hashes = pdf[hash_col].to_numpy(dtype=np.int64)
+                    pdf = pdf.copy()
+                    pdf["maybe_seen"] = bf.contains_many(hashes)
+                    yield pdf[names + ["maybe_seen"]]
 
-        return df.mapInPandas(probe, schema)
+            return df.mapInPandas(probe, schema)
 
-    def _bloom_add_distributed(self, df_hashes: DataFrame, hash_col: str) -> None:
-        """Distributed delta-shard build; driver merges shard bytes."""
+        # partitioned: cogroup(link rows, bloom delta rows) on shard
+        _, m, k = self._bloom_cfg
+        bloom_rows = self.spark.read.parquet(self._bloom_table)
+        left = df.withColumn("__shard", self._shard_expr(hash_col))
+        out_schema = T.StructType(
+            [T.StructField("__shard", T.IntegerType())] + list(schema.fields)
+        )
+
+        def probe_group(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+            if lpdf.empty:
+                return pd.DataFrame(columns=["__shard"] + names + ["maybe_seen"])
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            for blob in rpdf["bits"]:
+                bits |= np.frombuffer(blob, dtype=np.uint8)
+            hashes = lpdf[hash_col].to_numpy(dtype=np.int64)
+            out = lpdf.copy()
+            out["maybe_seen"] = contains_in_bits(bits, hashes, m, k)
+            return out[["__shard"] + names + ["maybe_seen"]]
+
+        probed = (
+            left.groupBy("__shard")
+            .cogroup(bloom_rows.groupBy(F.col("shard").cast("int").alias("__shard")))
+            .applyInPandas(probe_group, out_schema)
+        )
+        return probed.drop("__shard")
+
+    def _bloom_delta(self, df_hashes: DataFrame, hash_col: str) -> DataFrame:
+        """Distributed per-shard delta bitset build (grouped Arrow UDF)."""
         n_shards, m, k = self._bloom_cfg
-        shard_col = F.pmod(F.shiftrightunsigned(F.col(hash_col), 48), F.lit(n_shards))
 
         def build(key, pdf):
             bits = build_bits(pdf[hash_col].to_numpy(dtype=np.int64), m, k)
@@ -239,25 +331,155 @@ class CrawlEngine:
                 [{"shard": int(key[0]), "m": m, "k": k, "bits": bits.tobytes()}]
             )
 
-        delta = (
-            df_hashes.select(F.col(hash_col), shard_col.alias("shard"))
+        return (
+            df_hashes.select(F.col(hash_col), self._shard_expr(hash_col).alias("shard"))
             .groupBy("shard")
             .applyInPandas(build, "shard int, m int, k int, bits binary")
         )
+
+    def _bloom_update(self, new_hashes: DataFrame, hash_col: str) -> None:
+        """Fold this round's new hashes into the seen-bloom.
+
+        Broadcast mode: collect ``n_shards`` delta rows, OR into the
+        driver copy (bytes moved = shard bytes, never keys). Partitioned
+        mode: append the delta rows to the bloom table — a fully
+        distributed write, zero driver traffic."""
+        delta = self._bloom_delta(new_hashes, hash_col)
+        if self.bloom_mode == "broadcast":
+            for row in delta.collect():
+                self.bloom.bits[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint8)
+        else:
+            delta.write.mode("append").parquet(self._bloom_table)
+
+    def _bloom_compact(self) -> None:
+        """OR-merge the partitioned bloom table back to one row per shard
+        (atomic dir swap: a crash leaves the old table; extra delta rows
+        from a torn round only add false positives)."""
+        if self.bloom_mode != "partitioned":
+            return
+        _, m, k = self._bloom_cfg
+
+        def merge(key, pdf):
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            for blob in pdf["bits"]:
+                bits |= np.frombuffer(blob, dtype=np.uint8)
+            return pd.DataFrame(
+                [{"shard": int(key[0]), "m": m, "k": k, "bits": bits.tobytes()}]
+            )
+
+        tmp = self._bloom_table + ".compact"
+        (
+            self.spark.read.parquet(self._bloom_table)
+            .groupBy("shard")
+            .applyInPandas(merge, "shard int, m int, k int, bits binary")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        import shutil
+
+        old = self._bloom_table + ".old"
+        os.rename(self._bloom_table, old)
+        os.rename(tmp, self._bloom_table)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _bloom_rebuild(self, upto_round: int) -> None:
+        """Resume path (broadcast mode): one distributed job over the
+        committed seen rows rebuilds the driver shards exactly."""
+        self.bloom = BloomShards(*self._bloom_cfg)
+        seen = self._read_seen(upto_round)
+        if seen is None:
+            return
+        delta = self._bloom_delta(seen.select("url_hash"), "url_hash")
         for row in delta.collect():
             self.bloom.bits[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint8)
 
-    def _write(self, df: DataFrame, rnd: int, name: str) -> tuple[str, int]:
-        path = self.store.table_path(rnd, name)
-        df.write.mode("overwrite").parquet(path)
-        return path, self.spark.read.parquet(path).count()
+    # --- seen table (a view over the frontier snapshots) ----------------
 
-    def _seen_paths(self, upto_round: int) -> list[str]:
-        paths = [self.store.table_path(-1, "seen_delta")]
-        paths += [self.store.table_path(r, "seen_delta") for r in range(upto_round)]
+    def _frontier_paths(self, upto_round: int) -> list[str]:
+        paths = [self.store.table_path(-1, "frontier_next")]
+        paths += [self.store.table_path(r, "frontier_next") for r in range(upto_round)]
         return [p for p in paths if os.path.exists(p)]
 
+    def _read_seen(self, upto_round: int) -> DataFrame | None:
+        """URL-seen rows = the ``is_new=true`` partitions of every
+        committed frontier snapshot (partition-pruned scan: the
+        ``is_new=false`` directories are never read)."""
+        paths = [
+            os.path.join(p, "is_new=1")
+            for p in self._frontier_paths(upto_round)
+            if os.path.exists(os.path.join(p, "is_new=1"))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths).select("url_hash", "url")
+
     # ------------------------------------------------------------------
+
+    def _politeness_batch(self, frontier: DataFrame, seq_offset: int):
+        """Salted two-phase per-host top-k + global fetch_seq.
+
+        fetch_seq = seq_offset + exclusive-prefix-sum of per-host batch
+        sizes in host order + within-host rank. The prefix sum is
+        two-level: hosts are range-partitioned (so cross-partition order
+        is exact), each partition cumsums locally in parallel, and only
+        the per-partition totals (≤ shuffle partitions rows) see a
+        single-partition window."""
+        cand = frontier.join(
+            F.broadcast(self.robots.select("host", "budget")), "host", "left"
+        ).withColumn("budget", F.coalesce("budget", F.lit(DEFAULT_BUDGET)))
+        order = [F.desc("priority"), F.asc("url_hash"), F.asc("url")]
+        w1 = Window.partitionBy("host", "salt").orderBy(*order)
+        pre = (
+            cand.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(self.n_salts)))
+            .withColumn("r1", F.row_number().over(w1))
+            .where(F.col("r1") <= F.col("budget"))
+        )
+        w2 = Window.partitionBy("host").orderBy(*order)
+        ranked = (
+            pre.withColumn("rank", F.row_number().over(w2) - 1)
+            .where(F.col("rank") < F.col("budget"))
+            .drop("salt", "r1", "budget")
+        ).persist()
+
+        counts = ranked.groupBy("host").agg((F.max("rank") + 1).alias("cnt"))
+        if self._two_level_scan:
+            n_parts = self.spark.sparkContext.defaultParallelism
+            parts = counts.repartitionByRange(n_parts, "host").withColumn(
+                "pid", F.spark_partition_id()
+            )
+            w_local = Window.partitionBy("pid").orderBy("host").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            w_pid = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+            pid_off = (
+                parts.groupBy("pid")
+                .agg(F.sum("cnt").alias("pcnt"))
+                .select(
+                    "pid", F.coalesce(F.sum("pcnt").over(w_pid), F.lit(0)).alias("poff")
+                )
+            )
+            host_base = parts.join(F.broadcast(pid_off), "pid").select(
+                "host",
+                (F.col("poff") + F.coalesce(F.sum("cnt").over(w_local), F.lit(0))).alias(
+                    "host_base"
+                ),
+            )
+        else:
+            # one row per host: a single cumulative window is cheaper
+            # than the range-partitioner's sampling pass
+            w_host = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+            host_base = counts.select(
+                "host", F.coalesce(F.sum("cnt").over(w_host), F.lit(0)).alias("host_base")
+            )
+        batch = (
+            ranked.join(F.broadcast(host_base), "host")
+            .withColumn(
+                "fetch_seq",
+                (F.col("host_base") + F.col("rank") + F.lit(seq_offset)).cast("long"),
+            )
+            .drop("host_base")
+        )
+        return cand, ranked, batch
 
     def run(self, resume: bool = False) -> dict:
         spark = self.spark
@@ -268,132 +490,85 @@ class CrawlEngine:
                     "corpus": self.corpus_dir,
                     "n_salts": self.n_salts,
                     "bloom": list(self._bloom_cfg),
+                    "bloom_mode": self.bloom_mode,
                     "priority_decay": PRIORITY_DECAY,
                     "default_budget": DEFAULT_BUDGET,
                 }
             )
             t0 = time.perf_counter()
-            seeded = self._seed_frontier().persist()
-            tables = {
-                "frontier_next": self._write(seeded, -1, "frontier_next"),
-                "seen_delta": self._write(seeded.select("url_hash", "url"), -1, "seen_delta"),
-            }
+            seeded = self._seed_frontier().withColumn("is_new", F.lit(1)).persist()
+            obs = Observation()
+            path = self.store.table_path(-1, "frontier_next")
+            seeded.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).partitionBy("is_new").parquet(path)
+            pending_rows = int(obs.get["rows"])
             t0 = _trace("bootstrap seed+write", t0)
-            self._bloom_add_distributed(seeded.select("url_hash"), "url_hash")
+            self._bloom_update(seeded.select("url_hash"), "url_hash")
             t0 = _trace("bootstrap bloom", t0)
-            bloom_df = spark.createDataFrame(
-                self.bloom.to_rows(), "shard int, m int, k int, bits binary"
-            )
-            tables["bloom"] = self._write(bloom_df, -1, "bloom")
             self.store.commit_round(
-                -1, tables, {"n_fetched": 0, "total_fetched": 0, "n_pending": tables["frontier_next"][1]}
+                -1,
+                {"frontier_next": (path, pending_rows)},
+                {"n_fetched": 0, "total_fetched": 0, "n_pending": pending_rows},
             )
             seeded.unpersist()
             start_round, seq_offset = 0, 0
-            pending_rows = tables["frontier_next"][1]
         else:
             manifest = self.store.read_manifest()
             entry = [r for r in manifest["rounds"] if r["round"] == last][0]
             seq_offset = entry["metrics"]["total_fetched"]
             start_round = last + 1
-            self.bloom = BloomShards.from_rows(
-                [
-                    (r["shard"], r["m"], r["k"], bytes(r["bits"]))
-                    for r in spark.read.parquet(
-                        self.store.table_path(last, "bloom")
-                    ).collect()
-                ]
-            )
             pending_rows = entry["tables"]["frontier_next"]["rows"]
+            if self.bloom_mode == "broadcast":
+                self._bloom_rebuild(last + 1)
+            # partitioned mode: the bloom table is already on disk; any
+            # delta rows from a torn (uncommitted) round are FP-only.
 
         rounds_sec = 0.0
+        prev_batch: int | None = None
         for rnd in range(start_round, self.max_rounds):
             round_t0 = time.perf_counter()
             # pending count comes from the previous round's committed
-            # parquet row count — no extra action per round
+            # write metrics — no extra action per round
             n_pending = pending_rows
             if n_pending == 0:
                 break
-            frontier = spark.read.parquet(self.store.table_path(rnd - 1, "frontier_next"))
+            frontier = spark.read.parquet(
+                self.store.table_path(rnd - 1, "frontier_next")
+            ).drop("is_new")
 
-            # --- politeness: two-phase salted top-k per host ------------
-            cand = frontier.join(
-                F.broadcast(self.robots.select("host", "budget")), "host", "left"
-            ).withColumn("budget", F.coalesce("budget", F.lit(DEFAULT_BUDGET)))
-            order = [F.desc("priority"), F.asc("url_hash"), F.asc("url")]
-            w1 = Window.partitionBy("host", "salt").orderBy(*order)
-            pre = (
-                cand.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(self.n_salts)))
-                .withColumn("r1", F.row_number().over(w1))
-                .where(F.col("r1") <= F.col("budget"))
-            )
-            w2 = Window.partitionBy("host").orderBy(*order)
-            ranked = (
-                pre.withColumn("rank", F.row_number().over(w2) - 1)
-                .where(F.col("rank") < F.col("budget"))
-                .drop("salt", "r1", "budget")
-            ).persist()
-            # global fetch_seq = offset + position in (host ASC, rank ASC)
-            # order, WITHOUT a single-partition global window: per-host
-            # counts (tiny: one row per host) get exclusive cumulative
-            # offsets, broadcast back, and fetch_seq = host_base + rank.
-            w_host = Window.orderBy("host").rowsBetween(
-                Window.unboundedPreceding, -1
-            )
-            host_base = (
-                ranked.groupBy("host")
-                .agg(F.max("rank").alias("mx"))
-                .select(
-                    "host",
-                    F.coalesce(F.sum(F.col("mx") + 1).over(w_host), F.lit(0)).alias(
-                        "host_base"
-                    ),
-                )
-            )
-            batch = (
-                ranked.join(F.broadcast(host_base), "host")
-                .withColumn(
-                    "fetch_seq",
-                    (F.col("host_base") + F.col("rank") + F.lit(seq_offset)).cast(
-                        "long"
-                    ),
-                )
-                .drop("host_base")
-            )
-            if _TRACE:
-                tt = time.perf_counter()
-                batch.count()
-                _trace(f"r{rnd} politeness batch", tt)
+            cand, ranked, batch = self._politeness_batch(frontier, seq_offset)
 
             # --- resolver join + extraction -----------------------------
-            # repartition after the join: the resolver join would otherwise
-            # leave the python extraction stage on the (possibly few) scan
-            # partitions; 4× slots keeps task waves balanced
-            par = max(self.spark.sparkContext.defaultParallelism * 4, 8)
+            # partition the python stage by the expected batch size (the
+            # previous round's, since budgets change slowly; ≥ slots, ≤
+            # 4× slots, ~32 pages/task) so tiny rounds don't pay 4×slots
+            # task overheads and fat rounds still get even waves
+            slots = self.spark.sparkContext.defaultParallelism
+            est = prev_batch if prev_batch is not None else n_pending
+            par = int(min(slots * 4, max(slots, est // 32 + 1)))
             fetched_in = batch.join(
                 self.pages.select("url", "html", "status"), "url", "left"
             ).repartition(par)
-            extracted = fetched_in.mapInPandas(
-                lambda it: _extract_batches(it), _EXTRACT_SCHEMA
-            ).persist()
-            if _TRACE:
-                tt = time.perf_counter()
-                extracted.count()
-                _trace(f"r{rnd} resolver+extract materialize", tt)
-
-            fetch_log = extracted.select(
-                "fetch_seq",
-                F.lit(rnd).alias("round"),
-                "url",
-                "url_hash",
-                "host",
-                "parent_url",
-                "status",
-                "n_images",
+            extracted = (
+                fetched_in.mapInPandas(lambda it: _extract_batches(it), _EXTRACT_SCHEMA)
+                .withColumn("round", F.lit(rnd))
+                .persist()
             )
-            images = extracted.select(
-                F.col("url").alias("page_url"), F.explode("imgs").alias("img")
-            ).select("page_url", "img.image_id", "img.src", "img.caption")
+
+            # --- write 1: round_data (fetch log + images + links) -------
+            t0 = time.perf_counter()
+            obs1 = Observation()
+            rd_path = self.store.table_path(rnd, "round_data")
+            extracted.observe(
+                obs1,
+                F.count(F.lit(1)).alias("n_fetched"),
+                F.coalesce(F.sum("n_images"), F.lit(0)).alias("n_images"),
+            ).write.mode("overwrite").parquet(rd_path)
+            m1 = obs1.get
+            n_fetched = int(m1["n_fetched"])
+            prev_batch = n_fetched
+            t0 = _trace(f"r{rnd} politeness+fetch+extract+write", t0)
 
             # --- new links: dedup → robots → bloom → exact anti-join ----
             links = extracted.select(
@@ -427,63 +602,64 @@ class CrawlEngine:
                 .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
             )
             allowed = self._filter_disallowed(deduped)
-            probed = self._bloom_maybe_seen(allowed, "url_hash").persist()
-            if _TRACE:
-                tt = time.perf_counter()
-                probed.count()
-                _trace(f"r{rnd} links dedup+robots+bloom probe", tt)
+            probed = self._bloom_maybe_seen(allowed, "url_hash")
             definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-            seen_paths = self._seen_paths(rnd)
-            seen_df = spark.read.parquet(*seen_paths).select("url_hash")
-            confirmed_new = maybe.join(seen_df, "url_hash", "left_anti")
-            new_entries = definite_new.unionByName(confirmed_new).select(
-                "url", "url_hash", "host", "priority", "depth", "parent_url"
-            ).persist()
+            seen_df = self._read_seen(rnd)
+            confirmed_new = maybe.join(seen_df, ["url_hash", "url"], "left_anti")
+            new_entries = (
+                definite_new.unionByName(confirmed_new)
+                .select("url", "url_hash", "host", "priority", "depth", "parent_url")
+                .persist()
+            )
 
-            # --- next frontier + state updates --------------------------
+            # --- write 2: next frontier (is_new partitions = seen delta)
             remaining = cand.select(
                 "url", "url_hash", "host", "priority", "depth", "parent_url"
-            ).join(batch.select("url_hash"), "url_hash", "left_anti")
-            frontier_next = remaining.unionByName(new_entries)
-
-            t0 = time.perf_counter()
-            tables = {"fetched": self._write(fetch_log, rnd, "fetched")}
-            t0 = _trace(f"r{rnd} fetch+extract+write", t0)
-            tables["images"] = self._write(images, rnd, "images")
-            t0 = _trace(f"r{rnd} images write", t0)
-            tables["seen_delta"] = self._write(
-                new_entries.select("url_hash", "url"), rnd, "seen_delta"
+            ).join(batch.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
+            frontier_next = remaining.withColumn("is_new", F.lit(0)).unionByName(
+                new_entries.withColumn("is_new", F.lit(1))
             )
-            t0 = _trace(f"r{rnd} links dedup+bloom+anti+write", t0)
-            tables["frontier_next"] = self._write(frontier_next, rnd, "frontier_next")
-            t0 = _trace(f"r{rnd} frontier write", t0)
+            obs2 = Observation()
+            fr_path = self.store.table_path(rnd, "frontier_next")
+            frontier_next.observe(
+                obs2,
+                F.count(F.lit(1)).alias("n_pending"),
+                F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"),
+            ).write.mode("overwrite").partitionBy("is_new").parquet(fr_path)
+            m2 = obs2.get
+            t0 = _trace(f"r{rnd} links+antijoin+frontier write", t0)
+
+            # --- bloom delta (action 3) ---------------------------------
+            self._bloom_update(new_entries.select("url_hash"), "url_hash")
+            t0 = _trace(f"r{rnd} bloom delta", t0)
+            if (
+                self.bloom_mode == "partitioned"
+                and rnd > 0
+                and rnd % self.bloom_compact_every == 0
+            ):
+                self._bloom_compact()
+
             ranked.unpersist()
             extracted.unpersist()
-            self._bloom_add_distributed(new_entries.select("url_hash"), "url_hash")
-            t0 = _trace(f"r{rnd} bloom delta build", t0)
-            bloom_df = spark.createDataFrame(
-                self.bloom.to_rows(), "shard int, m int, k int, bits binary"
-            )
-            tables["bloom"] = self._write(bloom_df, rnd, "bloom")
-            t0 = _trace(f"r{rnd} bloom write", t0)
+            new_entries.unpersist()
 
-            n_fetched = tables["fetched"][1]
-            pending_rows = tables["frontier_next"][1]
+            pending_rows = int(m2["n_pending"])
             seq_offset += n_fetched
             self.store.commit_round(
                 rnd,
-                tables,
+                {
+                    "round_data": (rd_path, n_fetched),
+                    "frontier_next": (fr_path, pending_rows),
+                },
                 {
                     "n_pending": n_pending,
                     "n_fetched": n_fetched,
-                    "n_new_links": tables["seen_delta"][1],
-                    "n_images": tables["images"][1],
+                    "n_new_links": int(m2["n_new"]),
+                    "n_images": int(m1["n_images"]),
                     "total_fetched": seq_offset,
                 },
             )
-            probed.unpersist()
-            new_entries.unpersist()
             rounds_sec += time.perf_counter() - round_t0
             if n_fetched == 0:
                 break
@@ -496,17 +672,20 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
 
-    def fetch_log_df(self) -> DataFrame:
+    def _round_data_paths(self) -> list[str]:
         rounds = [r["round"] for r in self.store.read_manifest()["rounds"] if r["round"] >= 0]
-        paths = [self.store.table_path(r, "fetched") for r in rounds]
-        paths = [p for p in paths if os.path.exists(p)]
-        return self.spark.read.parquet(*paths)
+        paths = [self.store.table_path(r, "round_data") for r in rounds]
+        return [p for p in paths if os.path.exists(p)]
+
+    def fetch_log_df(self) -> DataFrame:
+        return self.spark.read.parquet(*self._round_data_paths()).select(*_FETCH_COLS)
 
     def seen_df(self) -> DataFrame:
-        return self.spark.read.parquet(*self._seen_paths(10**6))
+        return self._read_seen(10**6)
 
     def images_df(self) -> DataFrame:
-        rounds = [r["round"] for r in self.store.read_manifest()["rounds"] if r["round"] >= 0]
-        paths = [self.store.table_path(r, "images") for r in rounds]
-        paths = [p for p in paths if os.path.exists(p)]
-        return self.spark.read.parquet(*paths)
+        return (
+            self.spark.read.parquet(*self._round_data_paths())
+            .select(F.col("url").alias("page_url"), F.explode("imgs").alias("img"))
+            .select("page_url", "img.image_id", "img.src", "img.caption")
+        )

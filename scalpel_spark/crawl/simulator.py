@@ -61,6 +61,9 @@ def simulate_crawl(
     [{url, priority}]; ``robots``: host -> row dict."""
     res = SimResult()
     frontier: list[FrontierEntry] = []
+    # membership is keyed by the exact URL (the engine anti-joins on
+    # (url_hash, url)); res.seen keeps the hash→url view for reporting
+    seen_urls: set[str] = set()
 
     def robots_for(host: str):
         r = robots.get(host)
@@ -73,13 +76,14 @@ def simulate_crawl(
         c = canonicalize_url(s["url"])
         if c is None:
             continue
-        h = url_hash(c)
-        if h in res.seen:
+        if c in seen_urls:
             continue
+        h = url_hash(c)
         host = url_host(c) or ""
         _, dis = robots_for(host)
         if is_disallowed(c, dis):
             continue
+        seen_urls.add(c)
         res.seen[h] = c
         frontier.append(FrontierEntry(c, h, host, float(s["priority"]), 0, ""))
 
@@ -119,13 +123,14 @@ def simulate_crawl(
                 for iid, src, cap in ext.images:
                     res.images.append((e.url, iid, src, cap))
                 for link in ext.links:
-                    h = url_hash(link)
-                    if h in res.seen:
+                    if link in seen_urls:
                         continue
+                    h = url_hash(link)
                     lhost = url_host(link) or ""
                     _, dis = robots_for(lhost)
                     if is_disallowed(link, dis):
                         continue
+                    seen_urls.add(link)
                     res.seen[h] = link
                     new_entries.append(
                         FrontierEntry(

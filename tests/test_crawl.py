@@ -126,6 +126,25 @@ def test_image_fidelity_vs_corpus(spark, world_dir, engine_result):
             assert np.array_equal(decoded, truth)
 
 
+def test_partitioned_bloom_mode_matches(spark, world_dir, sim_result, tmp_path_factory):
+    """bloom_mode='partitioned' (sharded parquet bloom probed via a
+    co-grouped join, zero driver bloom traffic — the 10^10 path) must
+    produce the identical crawl; compaction is forced every 2 rounds so
+    the OR-merge + atomic-swap path is exercised."""
+    from scalpel_spark.crawl.engine import CrawlEngine
+
+    out = str(tmp_path_factory.mktemp("crawl_part"))
+    eng = CrawlEngine(
+        spark, world_dir, out, max_rounds=MAX_ROUNDS,
+        bloom_mode="partitioned", bloom_compact_every=2,
+    )
+    summary = eng.run()
+    assert summary["total_fetched"] == len(sim_result.fetch_log)
+    assert _eng_log_tuples(eng) == _sim_log_tuples(sim_result)
+    eng_seen = {(r.url_hash, r.url) for r in eng.seen_df().collect()}
+    assert eng_seen == {(h, u) for h, u in sim_result.seen.items()}
+
+
 def test_resume_is_exact(spark, world_dir, sim_result, tmp_path_factory):
     """Run k rounds, stop, resume from the manifest — final fetch log and
     seen set byte-identical to the uninterrupted run."""
