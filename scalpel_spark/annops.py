@@ -69,35 +69,59 @@ def cosine_topk(
 
 def hyperplane_signatures(
     df: DataFrame,
-    n_planes: int = 16,
-    dim: int | None = None,
+    n_tables: int = 16,
+    n_planes: int = 6,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """(id, bucket) — sign pattern of ``n_planes`` random hyperplanes,
-    one numpy matmul per Arrow batch."""
+    """(id, table, bucket) — one sign-pattern bucket per hash TABLE
+    (``n_tables`` independent sets of ``n_planes`` hyperplanes; one numpy
+    matmul per Arrow batch covers all tables).
+
+    ``multiprobe`` > 0 additionally emits, per table, the buckets
+    reachable by flipping each of the ``multiprobe`` least-confident
+    bits (smallest |margin|) — the standard multiprobe trick: recall of
+    many more tables for the memory of one.
+    """
     schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("table", T.IntegerType()),
             T.StructField("bucket", T.LongType()),
         ]
     )
+    total = n_tables * n_planes
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
 
     def gen(batches):
         planes = None
-        weights = None
         for pdf in batches:
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
             if planes is None:
                 rng = np.random.default_rng(seed)
-                planes = rng.standard_normal((mat.shape[1], n_planes)).astype(
-                    np.float32
-                )
-                weights = (1 << np.arange(n_planes, dtype=np.int64))
-            bits = (mat @ planes) >= 0
-            buckets = (bits.astype(np.int64) * weights).sum(axis=1)
-            yield pd.DataFrame({id_col: pdf[id_col].tolist(), "bucket": buckets})
+                planes = rng.standard_normal((mat.shape[1], total)).astype(np.float32)
+            proj = mat @ planes  # (n, total)
+            bits = proj >= 0
+            ids_out, tbl_out, bkt_out = [], [], []
+            ids = pdf[id_col].tolist()
+            for t in range(n_tables):
+                sl = slice(t * n_planes, (t + 1) * n_planes)
+                b = (bits[:, sl].astype(np.int64) * weights).sum(axis=1)
+                ids_out.extend(ids)
+                tbl_out.extend([t] * len(ids))
+                bkt_out.extend(b.tolist())
+                if multiprobe:
+                    # flip the `multiprobe` lowest-|margin| bits, one at
+                    # a time (probe sequence length = multiprobe)
+                    order = np.argsort(np.abs(proj[:, sl]), axis=1)[:, :multiprobe]
+                    for j in range(order.shape[1]):
+                        flipped = b ^ weights[order[:, j]]
+                        ids_out.extend(ids)
+                        tbl_out.extend([t] * len(ids))
+                        bkt_out.extend(flipped.tolist())
+            yield pd.DataFrame({id_col: ids_out, "table": tbl_out, "bucket": bkt_out})
 
     return spread(df.select(id_col, vec_col)).mapInPandas(gen, schema)
 
@@ -106,33 +130,80 @@ def lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_planes: int = 12,
+    n_tables: int = 16,
+    n_planes: int = 6,
+    multiprobe: int = 3,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Bucketed ANN: exact cosine ranking *within* shared hyperplane
-    buckets. Recall < 1 by construction; the scale path when Q·N is too
-    big to brute-force. Output (query_id, neighbor_id, rank)."""
-    vs = hyperplane_signatures(vectors, n_planes, seed=seed, id_col=id_col, vec_col=vec_col)
-    qs = hyperplane_signatures(queries, n_planes, seed=seed, id_col=id_col, vec_col=vec_col)
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vvec")).join(
-        vs.select(F.col(id_col).alias("neighbor_id"), "bucket"), "neighbor_id"
+    """Bucketed ANN: exact cosine ranking within the UNION of bucket
+    matches over ``n_tables`` independent hyperplane tables, with
+    query-side multiprobe (r1 VERDICT fix: the single-table 12-plane
+    variant had recall ≈ 0). Recall < 1 by construction — the scale path
+    when Q·N is too big to brute-force; measured-recall gate lives in
+    tests/test_ops.py and the ``ann_lsh_recall`` catalog query.
+
+    Output (query_id, neighbor_id, rank)."""
+    vs = hyperplane_signatures(
+        vectors, n_tables, n_planes, seed=seed, id_col=id_col, vec_col=vec_col
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).join(
-        qs.select(F.col(id_col).alias("query_id"), "bucket"), "query_id"
+    qs = hyperplane_signatures(
+        queries, n_tables, n_planes, seed=seed, id_col=id_col, vec_col=vec_col,
+        multiprobe=multiprobe,
     )
+    # candidate pairs = distinct (query, neighbor) sharing any (table,
+    # bucket); collapse BEFORE fetching vectors so each pair is scored
+    # once no matter how many tables it collides in
+    cand = (
+        qs.select(F.col(id_col).alias("query_id"), "table", "bucket")
+        .join(
+            vs.select(F.col(id_col).alias("neighbor_id"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vvec"))
     sim = _dot(F.col("qvec"), F.col("vvec")) / (
         _norm(F.col("qvec")) * _norm(F.col("vvec"))
     )
-    scored = (
-        q.join(v, "bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("sim"))
+    scored = cand.join(F.broadcast(q), "query_id").join(v, "neighbor_id").select(
+        "query_id", "neighbor_id", sim.alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_recall(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Measured recall of ``lsh_topk`` against the exact ``cosine_topk``:
+    one row (n_queries, n_exact, n_hit, recall_pct). The standing
+    quality gate for the ANN scale path."""
+    exact = cosine_topk(vectors, queries, k=k, id_col=id_col, vec_col=vec_col)
+    approx = lsh_topk(vectors, queries, k=k, id_col=id_col, vec_col=vec_col, **lsh_kwargs)
+    hit = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hit.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+        F.round(F.coalesce(F.sum("hit"), F.lit(0)) * 100.0 / F.count(F.lit(1)), 1).alias(
+            "recall_pct"
+        ),
     )

@@ -184,8 +184,11 @@ class CrawlEngine:
         bloom_k: int = 7,
         bloom_mode: str = "broadcast",
         bloom_compact_every: int = 16,
+        fetch_mode: str = "corpus",
+        fetch_config=None,
     ):
         assert bloom_mode in ("broadcast", "partitioned")
+        assert fetch_mode in ("corpus", "http")
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.store = SnapshotStore(out_dir)
@@ -195,8 +198,21 @@ class CrawlEngine:
         self.bloom_mode = bloom_mode
         self.bloom_compact_every = bloom_compact_every
         self.bloom = BloomShards(bloom_shards, bloom_bits_per_shard, bloom_k)
+        self.fetch_mode = fetch_mode
+        if fetch_config is None:
+            from .fetch import FetchConfig
 
-        self.pages = spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+            fetch_config = FetchConfig()
+        self.fetch_config = fetch_config
+
+        # corpus mode resolves URLs against the pages table (the offline
+        # stand-in for HTTP GET); http mode GETs them for real inside the
+        # fetch task, so no pages table is needed
+        self.pages = (
+            spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
+            if fetch_mode == "corpus"
+            else None
+        )
         robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
         self.robots = robots.select(
             "host",
@@ -547,9 +563,37 @@ class CrawlEngine:
             slots = self.spark.sparkContext.defaultParallelism
             est = prev_batch if prev_batch is not None else n_pending
             par = int(min(slots * 4, max(slots, est // 32 + 1)))
-            fetched_in = batch.join(
-                self.pages.select("url", "html", "status"), "url", "left"
-            ).repartition(par)
+            if self.fetch_mode == "corpus":
+                fetched_in = batch.join(
+                    self.pages.select("url", "html", "status"), "url", "left"
+                ).repartition(par)
+            else:
+                # real HTTP GET inside the task: the politeness window
+                # upstream bounds per-host request counts per round
+                from .fetch import http_fetch_batch
+
+                cfg = self.fetch_config
+                sel = batch.select(
+                    "fetch_seq", "url", "url_hash", "host", "parent_url",
+                    "priority", "depth",
+                ).repartition(par)
+                fetch_schema = T.StructType(
+                    sel.schema.fields
+                    + [
+                        T.StructField("status", T.IntegerType()),
+                        T.StructField("html", T.StringType()),
+                    ]
+                )
+
+                def fetch_gen(batches):
+                    for pdf in batches:
+                        st, ht = http_fetch_batch(pdf["url"].tolist(), cfg)
+                        pdf = pdf.copy()
+                        pdf["status"] = pd.Series(st, index=pdf.index, dtype="int64")
+                        pdf["html"] = ht
+                        yield pdf
+
+                fetched_in = sel.mapInPandas(fetch_gen, fetch_schema)
             extracted = (
                 fetched_in.mapInPandas(lambda it: _extract_batches(it), _EXTRACT_SCHEMA)
                 .withColumn("round", F.lit(rnd))

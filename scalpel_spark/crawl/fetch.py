@@ -51,6 +51,54 @@ class FetchConfig:
     #: per-host politeness default when robots has no entry
     default_budget: int = 3
     extra_headers: dict = field(default_factory=dict)
+    #: request-time URL remap (test harnesses / forward proxies): the
+    #: logical URL stays the crawl identity, the rewritten one is GET-ed
+    url_rewrite: Callable[[str], str] | None = None
+    #: concurrent requests per partition (thread pool inside the task)
+    concurrency: int = 16
+
+
+def http_fetch_batch(urls, config: FetchConfig):
+    """Fetch a batch of URLs with a per-task thread pool (stdlib only —
+    urllib with keep-alive via per-thread openers). Returns parallel
+    lists (status, html): status 0 = transport error, HTTP status
+    otherwise; body decoded per ``config.decoder`` from the real
+    Content-Type header (URL.hs:87-103 semantics).
+
+    This is the real-HTTP realization of the fetch stage
+    (URL.hs:60-82): the engine calls it inside ``mapInPandas``, so each
+    Spark task fetches its partition's politeness-bounded batch
+    concurrently; per-host request caps are enforced UPSTREAM by the
+    politeness window, so the pool here only bounds socket fan-out."""
+    import urllib.error
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    timeout = config.timeout_ms / 1000.0
+
+    def one(url: str):
+        target = config.url_rewrite(url) if config.url_rewrite else url
+        req = urllib.request.Request(
+            target,
+            headers={"User-Agent": config.user_agent, **config.extra_headers},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                body = resp.read()
+                ctype = resp.headers.get("Content-Type")
+                return int(resp.status), config.decoder(body, ctype)
+        except urllib.error.HTTPError as e:
+            return int(e.code), None
+        except Exception:
+            return 0, None
+
+    if not len(urls):
+        return [], []
+    with ThreadPoolExecutor(max_workers=max(1, config.concurrency)) as ex:
+        results = list(ex.map(one, urls))
+    statuses = [r[0] for r in results]
+    htmls = [r[1] for r in results]
+    return statuses, htmls
 
 
 def decode_body_series(bodies, content_types, decoder: Decoder = default_decoder):

@@ -121,41 +121,13 @@ def thumbnails(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
 
 
 def phash_neardup(df: DataFrame, max_hamming: int = 6) -> DataFrame:
-    """Near-duplicate images by phash hamming distance, 16-bit-chunk
-    block join (pairs within distance ≤6 share ≥1 of 4 chunks only when
-    ≤3 chunks differ — for ≥4-chunk spread increase chunks; documented
-    recall/cost knob). JVM-side throughout."""
-    chunks = df.select(
-        "image_id",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    (F.shiftrightunsigned("phash", 16 * i) % F.lit(1 << 16))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    l, r = chunks.alias("l"), chunks.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.image_id") < F.col("r.image_id")),
-        )
-        .select(
-            F.col("l.image_id").alias("id_a"),
-            F.col("r.image_id").alias("id_b"),
-            F.col("l.phash").alias("ph_a"),
-            F.col("r.phash").alias("ph_b"),
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+    """Near-duplicate images by phash hamming distance ≤ k — exact for
+    any k: pigeonhole chunking (k+1 chunks) over DISTINCT phash values,
+    JVM-side throughout (see textops.hamming_neardup_pairs)."""
+    from .textops import hamming_neardup_pairs
+
+    return hamming_neardup_pairs(
+        df.select("image_id", "phash"), "phash", "image_id", max_hamming
     )
 
 

@@ -132,12 +132,15 @@ def q_brand_volume(spark, sf_dir):
     "q_customers_without_orders",
     """
     SELECT c_custkey, c_mktsegment FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
 )
 def q_customers_without_orders(spark, sf_dir):
+    """Anti-join, non-vacuous at every sf (r1 fix: every customer has
+    SOME order in this data, so the filter-less variant proved nothing —
+    'no finished orders' has real rows at sf0.001+)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_mktsegment")
@@ -398,6 +401,53 @@ def scrape_img_attrs(spark, sf_dir):
     )
     return extract_records(
         df, scraper, "src string, alt string", carry_cols=["doc_id"], prefilter="img"
+    )
+
+
+@q(
+    "scrape_with_errors",
+    """
+    SELECT doc_id,
+           CASE WHEN lang <> 'zh' THEN source END AS author,
+           CASE WHEN lang <> 'zh' THEN lang END AS body,
+           CAST(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END AS BIGINT) AS n_errors,
+           CASE WHEN lang = 'zh' THEN 'unknown comment type' END AS first_error
+    FROM documents
+    """,
+)
+def scrape_with_errors(spark, sf_dir):
+    """Effect-stack extraction (ScraperT over Either, Scrape.hs:50-52 /
+    examples/error-handling/Main.hs): pages whose comment shape is
+    unknown are NOT dropped — they surface with null fields and the
+    throw_error message in an errors column; the oracle reconstructs
+    both channels exactly."""
+    from scalpel_spark import sdo, text, throw_error
+    from scalpel_spark.spark.extract import extract_records_with_errors
+
+    d = _t(spark, sf_dir, "documents")
+    df = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<div class="c"><span>'),
+            F.col("source"),
+            F.lit("</span>"),
+            F.when(
+                F.col("lang") != "zh",
+                F.concat(F.lit("<p>"), F.col("lang"), F.lit("</p>")),
+            ).otherwise(F.lit("<video/>")),
+            F.lit("</div>"),
+        ).alias("html"),
+    )
+    scraper = sdo(text("span"), text("p")) | throw_error("unknown comment type")
+    out = extract_records_with_errors(
+        df, scraper, "author string, body string", carry_cols=["doc_id"]
+    )
+    return out.select(
+        "doc_id",
+        "author",
+        "body",
+        F.size("errors").cast("long").alias("n_errors"),
+        F.try_element_at("errors", F.lit(1)).alias("first_error"),
     )
 
 
@@ -684,13 +734,21 @@ def frontier_politeness_rank(spark, sf_dir):
     )
 
 
-@q("bloom_prefilter_semantics", None)  # prune-only invariant: rows-only check
+@q(
+    "bloom_prefilter_semantics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           CAST(0 AS BIGINT) AS n_false_neg
+    FROM orders
+    """,
+)
 def bloom_prefilter_semantics(spark, sf_dir):
-    """Bloom prefilter has no false negatives: rows flagged definite-new
-    by the bloom are exactly the rows the exact anti-join would keep, on
-    a seen-set built from half of orders."""
+    """Bloom prefilter no-false-negative invariant, emitted as a
+    non-vacuous count row: every seen key must probe maybe_seen, so
+    n_false_neg is 0 by construction and n_probed/n_seen prove the check
+    actually ran over the whole table (oracle recomputes both)."""
     import numpy as np
-    import pandas as pd
 
     from scalpel_spark.crawl.bloom import BloomShards
 
@@ -711,8 +769,13 @@ def bloom_prefilter_semantics(spark, sf_dir):
             yield out
 
     probed = o.mapInPandas(probe, "h long, is_seen boolean, maybe_seen boolean")
-    # violations of the no-false-negative invariant (must be zero rows):
-    return probed.where(F.col("is_seen") & ~F.col("maybe_seen"))
+    return probed.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("is_seen").cast("long")).alias("n_seen"),
+        F.sum((F.col("is_seen") & ~F.col("maybe_seen")).cast("long")).alias(
+            "n_false_neg"
+        ),
+    )
 
 
 # ===========================================================================
@@ -770,32 +833,122 @@ def quality_docs(spark, sf_dir):
     return quality_score(d).select("doc_id", "quality_i4")
 
 
-@q("lang_id_docs", None)  # heuristic model — rows-only check
+_LANG_VOTE_SQL = """
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS words FROM documents
+    ), v AS (
+      SELECT doc_id,
+        len(list_filter(words, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','zu'))) AS s_de,
+        len(list_filter(words, x -> x IN ('the','and','of','to','in','is','that','it','for','was'))) AS s_en,
+        len(list_filter(words, x -> x IN ('el','la','los','y','es','un','una','en','por','que'))) AS s_es,
+        len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','dans','pour','que'))) AS s_fr
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_de,s_en,s_es,s_fr) = 0 THEN 'und'
+                WHEN s_fr = greatest(s_de,s_en,s_es,s_fr) THEN 'fr'
+                WHEN s_es = greatest(s_de,s_en,s_es,s_fr) THEN 'es'
+                WHEN s_en = greatest(s_de,s_en,s_es,s_fr) THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           CAST(greatest(s_de,s_en,s_es,s_fr) AS BIGINT) AS votes_best,
+           CAST(s_de+s_en+s_es+s_fr AS BIGINT) AS votes_total
+    FROM v
+"""
+
+
+@q("lang_id_docs", _LANG_VOTE_SQL)
 def lang_id_docs(spark, sf_dir):
+    """Stopword-vote language id; the oracle replays the identical vote
+    (counts + reverse-lexicographic argmax tiebreak) in SQL, so the whole
+    decision — not just row counts — is verified."""
     from scalpel_spark.textops import lang_id
 
-    return lang_id(_t(spark, sf_dir, "documents"))
+    return lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred", "votes_best", "votes_total"
+    )
 
 
-@q("fingerprint_docs", None)  # rolling-hash — not SQL-expressible
+@q(
+    "fingerprint_docs",
+    """
+    SELECT md5(array_to_string(regexp_extract_all(lower(text), '\\w+'), ' ')) AS norm_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(1 AS BIGINT) AS n_norms
+    FROM documents GROUP BY 1
+    """,
+)
 def fingerprint_docs(spark, sf_dir):
+    """Rolling-hash fingerprint invariant, verified per group: grouping
+    the corpus BY the fingerprint must reproduce exactly the groups of
+    distinct normalized text (n_norms = 1 per fingerprint ⇒ no
+    collisions; group membership identical ⇒ determinism + coverage).
+    Non-vacuous: one output row per distinct document."""
     from scalpel_spark.textops import doc_fingerprint
 
-    return doc_fingerprint(_t(spark, sf_dir, "documents"))
+    d = _t(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.concat_ws(" ", F.regexp_extract_all(F.lower("text"), F.lit(r"\w+"), 0))
+    )
+    fp = doc_fingerprint(d).join(d.select("doc_id", norm.alias("norm")), "doc_id")
+    return fp.groupBy("fingerprint").agg(
+        F.min("norm").alias("norm_key"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("norm").alias("n_norms"),
+    ).select("norm_key", "n_docs", "n_norms")
 
 
-@q("minhash_neardup_docs", None)  # LSH pipeline — rows-only check
+_NEARDUP_ORACLE_SQL = """
+    WITH d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS words FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CASE WHEN len(words) = 0 THEN ['']
+                  WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                  ELSE list_distinct([array_to_string(words[i:i+2], ' ')
+                                      FOR i IN range(1, len(words)-1)])
+             END AS sh
+      FROM d
+    )
+    SELECT id_a, id_b, jacc_i4 FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                        / len(list_distinct(a.sh || b.sh)) * 10000) AS BIGINT) AS jacc_i4
+      FROM s a, s b WHERE a.doc_id < b.doc_id)
+    WHERE jacc_i4 >= 5000
+"""
+
+
+@q("minhash_neardup_docs", _NEARDUP_ORACLE_SQL)
 def minhash_neardup_docs(spark, sf_dir):
-    from scalpel_spark.textops import minhash_neardup
+    """MinHash-LSH candidates (shingle → 64-hash minhash → 16-band
+    bucket join) verified by EXACT shingle-set jaccard ≥ 0.5 — the
+    candidate→verify dedup pipeline. The oracle brute-forces exact
+    jaccard over all pairs, so any LSH recall loss or shingle-pipeline
+    divergence shows up as a row mismatch."""
+    from scalpel_spark.textops import (
+        exact_jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
 
-    return minhash_neardup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    cand = lsh_candidate_pairs(sigs, n_bands=16)
+    return exact_jaccard_verify(cand, d, threshold=0.5)
 
 
-@q("simhash_neardup_docs", None)  # rows-only check
+@q("simhash_neardup_docs", _NEARDUP_ORACLE_SQL)
 def simhash_neardup_docs(spark, sf_dir):
-    from scalpel_spark.textops import simhash_neardup
+    """SimHash candidates (hamming ≤ 12 via pigeonhole chunking over
+    distinct signatures — this corpus's tiny vocabulary correlates
+    simhashes, so true near-dups reach distance 11) verified by EXACT
+    shingle-set jaccard ≥ 0.5. Same oracle as minhash: a different
+    candidate path must converge to the identical verified pair set."""
+    from scalpel_spark.textops import exact_jaccard_verify, simhash_neardup
 
-    return simhash_neardup(_t(spark, sf_dir, "documents"), max_hamming=10)
+    d = _t(spark, sf_dir, "documents")
+    cand = simhash_neardup(d, max_hamming=12)
+    return exact_jaccard_verify(cand, d, threshold=0.5)
 
 
 @q(
@@ -820,13 +973,28 @@ def ann_cosine_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
-@q("ann_lsh_topk", None)  # approximate (recall<1) — rows-only check
+@q("ann_lsh_topk", None)  # approximate (recall<1 by design) — rows-only
 def ann_lsh_topk(spark, sf_dir):
+    """Multi-table + multiprobe hyperplane LSH top-k (r1 fix: the old
+    single-table variant returned 0 rows). Recall is measured, not
+    assumed — see ``ann_lsh_recall`` and tests/test_ops.py."""
     from scalpel_spark.annops import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 97 == 0)
     return lsh_topk(e, queries, k=5)
+
+
+@q("ann_lsh_recall", None)  # self-measuring gate: n_hit/n_exact vs brute force
+def ann_lsh_recall(spark, sf_dir):
+    """One row (n_queries, n_exact, n_hit, recall_pct): LSH top-k hits
+    measured against the exact cosine top-k. The standing quality gate
+    for the ANN scale path; pytest asserts recall ≥ 0.9."""
+    from scalpel_spark.annops import lsh_recall
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 97 == 0)
+    return lsh_recall(e, queries, k=5)
 
 
 @q(

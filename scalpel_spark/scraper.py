@@ -43,6 +43,17 @@ class _Fail:
     def __bool__(self):
         return False
 
+    def __reduce__(self):
+        # pickle back to the module singleton: closures shipped to Spark
+        # workers must share ONE identity so `v is FAIL` checks hold
+        # across pickling boundaries (cloudpickle would otherwise clone
+        # the instance per closure)
+        return (_the_fail, ())
+
+
+def _the_fail() -> "_Fail":
+    return FAIL
+
 
 FAIL = _Fail()
 
@@ -234,6 +245,116 @@ def position() -> Scraper:
     """Index of the current subtree among its ``chroots`` siblings
     (Scrape.hs:232-233; ctx set at Select.hs:82-83)."""
     return Scraper(lambda spec: spec.position)
+
+
+# --- Applicative surface on plain scrapers (Scrape.hs Functor/Applicative/
+# Alternative instances; the serial variants live further down) --------------
+
+
+def lift2(f, sa: Scraper, sb: Scraper) -> Scraper:
+    """``liftA2 f sa sb`` — both in the same context."""
+    return sdo(sa, sb).map(lambda t: f(t[0], t[1]))
+
+
+def ap(sf: Scraper, sa: Scraper) -> Scraper:
+    """``sf <*> sa``."""
+    return lift2(lambda f, a: f(a), sf, sa)
+
+
+def replicate_m(n: int, s: Scraper) -> Scraper:
+    """``replicateM n s`` — n results of the same scraper in the same
+    context (deterministic: all identical), as a list."""
+    return sdo(*([s] * n)).map(list)
+
+
+def optional_(s: Scraper) -> Scraper:
+    """``optional`` from Alternative: always succeeds; None on failure."""
+
+    def go(spec):
+        v = s.run(spec)
+        return None if v is FAIL else v
+
+    return Scraper(go)
+
+
+def many_(s: Scraper) -> Scraper:
+    """``many`` from Alternative on the Reader+Maybe stack: [] when the
+    scraper fails. A plain scraper is a pure function of an immutable
+    context, so a SUCCEEDING scraper makes the reference's
+    ``many`` fixpoint diverge (same in Haskell: ``many (Just x)`` hangs);
+    we raise instead of hanging. Use the serial ``many`` (which advances
+    a zipper) for real repetition."""
+
+    def go(spec):
+        v = s.run(spec)
+        if v is FAIL:
+            return []
+        raise ValueError(
+            "many_() over an unconditionally-succeeding plain scraper "
+            "diverges (as in the reference); use serial many"
+        )
+
+    return Scraper(go)
+
+
+# --- user effect stacks (ScraperT over Either/Writer; Scrape.hs:50-52,
+# examples/error-handling*/Main.hs) ------------------------------------------
+#
+# The reference threads user monads under the scraper; the Spark-native
+# equivalent is an explicit per-run effect context whose contents land in
+# per-row DataFrame columns (errors array<string>, log array<string>) —
+# failures become data, not dropped rows. The context is a stack so
+# nested scrape_with_effects calls compose; extraction tasks are
+# single-threaded per Python worker, so no locking is needed.
+
+_EFFECT_STACK: List[dict] = []
+
+
+def _effect_ctx() -> dict | None:
+    return _EFFECT_STACK[-1] if _EFFECT_STACK else None
+
+
+def throw_error(message) -> Scraper:
+    """``throwError`` (Either tier): record the error and fail the
+    current branch. ``message`` may be a string or a Scraper producing
+    one (so messages can embed scraped context, e.g. ``html``)."""
+
+    def go(spec):
+        ctx = _effect_ctx()
+        msg = message.run(spec) if isinstance(message, Scraper) else message
+        if ctx is not None and msg is not FAIL:
+            ctx["errors"].append(str(msg))
+        return FAIL
+
+    return Scraper(go)
+
+
+def tell(message) -> Scraper:
+    """``tell`` (Writer tier): append to the run's log, succeed with ()."""
+
+    def go(spec):
+        ctx = _effect_ctx()
+        msg = message.run(spec) if isinstance(message, Scraper) else message
+        if msg is FAIL:
+            return FAIL
+        if ctx is not None:
+            ctx["log"].append(str(msg))
+        return ()
+
+    return Scraper(go)
+
+
+def scrape_with_effects(html_str: str, scraper: Scraper):
+    """Run with an effect context: returns (value_or_None, errors, log)
+    — the observable shape of the reference's
+    ``runWriter $ scrapeStringLikeT …`` / Either runs."""
+    ctx = {"errors": [], "log": []}
+    _EFFECT_STACK.append(ctx)
+    try:
+        v = scraper.run(parse_spec(html_str))
+    finally:
+        _EFFECT_STACK.pop()
+    return (None if v is FAIL else v, ctx["errors"], ctx["log"])
 
 
 # --- running -----------------------------------------------------------------

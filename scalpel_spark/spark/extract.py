@@ -131,6 +131,69 @@ def extract_records(
     return in_df.mapInPandas(gen, schema=full_schema)
 
 
+def extract_records_with_errors(
+    df: DataFrame,
+    scraper: Scraper,
+    out_schema,
+    html_col: str = "html",
+    carry_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The effect-stack binding (reference ``ScraperT str (Either/Writer)``,
+    Scrape.hs:50-52, examples/error-handling*/Main.hs): one output row
+    per input page — NEVER dropped — with the scraped fields null on
+    failure plus ``errors array<string>`` (throw_error channel) and
+    ``log array<string>`` (tell channel). Failures become data a
+    pipeline can route/alert on instead of silent row loss."""
+    from ..scraper import scrape_with_effects
+
+    if isinstance(out_schema, str):
+        out_struct = T._parse_datatype_string(out_schema)
+    else:
+        out_struct = out_schema
+    carry_cols = list(carry_cols)
+    from .util import spread
+
+    in_df = spread(df.select(*carry_cols, html_col))
+    carry_struct = [in_df.schema[c] for c in carry_cols]
+    full_schema = T.StructType(
+        carry_struct
+        + list(out_struct.fields)
+        + [
+            T.StructField("errors", T.ArrayType(T.StringType())),
+            T.StructField("log", T.ArrayType(T.StringType())),
+        ]
+    )
+    out_names = [f.name for f in out_struct.fields]
+    n_fields = len(out_names)
+    all_names = carry_cols + out_names + ["errors", "log"]
+
+    def gen(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            cols: dict = {name: [] for name in all_names}
+            htmls = pdf[html_col].tolist()
+            carries = [pdf[c].tolist() for c in carry_cols]
+            for i, doc in enumerate(htmls):
+                v, errors, log = (
+                    scrape_with_effects(doc, scraper)
+                    if doc is not None
+                    else (None, ["null html"], [])
+                )
+                row = _value_to_row(v, n_fields) if v is not None else (None,) * n_fields
+                if isinstance(row, dict):
+                    for name in out_names:
+                        cols[name].append(row.get(name))
+                else:
+                    for name, val in zip(out_names, row):
+                        cols[name].append(val)
+                cols["errors"].append(errors)
+                cols["log"].append(log)
+                for c, vals in zip(carry_cols, carries):
+                    cols[c].append(vals[i])
+            yield pd.DataFrame({name: cols[name] for name in all_names})
+
+    return in_df.mapInPandas(gen, schema=full_schema)
+
+
 def scrape_udf_json(scraper: Scraper):
     """A scalar Pandas UDF: html → JSON-encoded scraper result (null on
     failure). For when the result should stay one-column-per-page

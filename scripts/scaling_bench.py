@@ -126,26 +126,34 @@ def main() -> None:
     # jobs (host-level noise; pure-CPU tests stay stable). Interleave
     # repeats and take the best per level — min is the robust estimator
     # of what the engine can do.
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     world = ensure_world(args.pages)
     kernel_world = args.kernel_world or ensure_heavy_world(args.pages)
     warmup = ensure_warmup_world()
     results: dict = {"crawl": {}, "kernel": {}}
+    # INTERLEAVE the repeats across parallelism levels: this host's
+    # hypervisor-steal epochs last minutes, so running all N-level
+    # attempts then all 4N-level attempts lets one epoch bias a level;
+    # alternating (N, 4N, N, 4N, ...) exposes both levels to the same
+    # noise and min-per-level stays a fair estimator.
     for mode in ("crawl", "kernel"):
-        for cpus in (args.low, args.high):
-            print(f"[{mode}] at local[{cpus}] ...", file=sys.stderr)
-            r = run_worker(
-                cpus,
-                world if mode == "crawl" else kernel_world,
-                args.rounds,
-                warmup=warmup,
-                mode=mode,
-                attempts=args.repeats,
-            )
-            print(r, file=sys.stderr)
-            results[mode][cpus] = r
+        for rep in range(args.repeats):
+            for cpus in (args.low, args.high):
+                print(f"[{mode}] rep {rep} at local[{cpus}] ...", file=sys.stderr)
+                r = run_worker(
+                    cpus,
+                    world if mode == "crawl" else kernel_world,
+                    args.rounds,
+                    warmup=warmup,
+                    mode=mode,
+                    attempts=1,
+                )
+                print(r, file=sys.stderr)
+                best = results[mode].get(cpus)
+                if best is None or r["rounds_sec"] < best["rounds_sec"]:
+                    results[mode][cpus] = r
 
     ratio = args.high / args.low
 

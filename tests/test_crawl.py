@@ -145,6 +145,92 @@ def test_partitioned_bloom_mode_matches(spark, world_dir, sim_result, tmp_path_f
     assert eng_seen == {(h, u) for h, u in sim_result.seen.items()}
 
 
+@pytest.fixture(scope="module")
+def corpus_http_server(world_dir):
+    """Local HTTP server serving the synthetic corpus: GET
+    /fetch?url=<logical url> returns the page's stored status + html
+    (utf-8), 404 for URLs outside the corpus — the real-network stand-in
+    the http fetch tier is verified against."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    import pyarrow.parquet as pq
+
+    pages = {
+        r["url"]: r for r in pq.read_table(f"{world_dir}/pages.parquet").to_pylist()
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            url = q.get("url", [""])[0]
+            row = pages.get(url)
+            if row is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body = (row["html"] or "").encode("utf-8") if row["status"] == 200 else b""
+            self.send_response(int(row["status"]))
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1], set(pages)
+    srv.shutdown()
+
+
+def test_http_fetch_mode_matches_simulator(
+    spark, world_dir, sim_result, corpus_http_server, tmp_path_factory
+):
+    """The real-HTTP fetch tier (urllib pool inside mapInPandas, charset
+    decode from live Content-Type headers) reproduces the simulator's
+    crawl order and seen set against a local server serving the same
+    corpus. Statuses match except URLs absent from the corpus, where the
+    network reports 404 and the offline resolver reports 0 — both
+    non-200, so crawl behavior is identical."""
+    from urllib.parse import urlencode
+
+    from scalpel_spark.crawl.engine import CrawlEngine
+    from scalpel_spark.crawl.fetch import FetchConfig
+
+    port, known_urls = corpus_http_server
+    cfg = FetchConfig(
+        url_rewrite=lambda u: f"http://127.0.0.1:{port}/fetch?" + urlencode({"url": u}),
+        concurrency=8,
+    )
+    out = str(tmp_path_factory.mktemp("crawl_http"))
+    eng = CrawlEngine(
+        spark, world_dir, out, max_rounds=MAX_ROUNDS,
+        fetch_mode="http", fetch_config=cfg,
+    )
+    summary = eng.run()
+    assert summary["total_fetched"] == len(sim_result.fetch_log)
+
+    def norm(rows, statuses_known):
+        return [
+            (r[0], r[1], r[2], r[3], r[4], r[5], r[6] if r[2] in statuses_known else -1, r[7])
+            for r in rows
+        ]
+
+    assert norm(_eng_log_tuples(eng), known_urls) == norm(
+        _sim_log_tuples(sim_result), known_urls
+    )
+    eng_seen = {(r.url_hash, r.url) for r in eng.seen_df().collect()}
+    assert eng_seen == {(h, u) for h, u in sim_result.seen.items()}
+    eng_imgs = sorted(
+        (r.page_url, r.image_id, r.src, r.caption) for r in eng.images_df().collect()
+    )
+    assert eng_imgs == sorted(sim_result.images)
+
+
 def test_resume_is_exact(spark, world_dir, sim_result, tmp_path_factory):
     """Run k rounds, stop, resume from the manifest — final fetch log and
     seen set byte-identical to the uninterrupted run."""

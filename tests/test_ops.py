@@ -104,6 +104,96 @@ def test_lsh_topk_subset_of_bruteforce_space(spark):
     assert all(r.query_id != r.neighbor_id for r in rows)
 
 
+def test_hamming_neardup_pairs_exact_vs_bruteforce(spark):
+    """The pigeonhole pair search is EXACT for any max_hamming (r1 fix:
+    the 16-bit-chunk variant silently missed pairs past distance 3),
+    including duplicate-signature cliques (degenerate buckets)."""
+    from scalpel_spark.textops import hamming_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(-(2**62), 2**62, size=40).astype(np.int64)
+    sigs = []
+    for i, b in enumerate(base):
+        sigs.append((i, int(b)))
+    # planted: near neighbors at controlled distances + a 5-doc clique
+    for j, d in enumerate((1, 3, 7, 10, 15)):
+        v = int(base[j]) & ((1 << 64) - 1)
+        for bit in rng.choice(64, size=d, replace=False):
+            v ^= 1 << int(bit)
+        sigs.append((100 + j, v - (1 << 64) if v >= (1 << 63) else v))
+    for j in range(5):
+        sigs.append((200 + j, int(base[20])))
+    df = spark.createDataFrame(sigs, "doc_id long, sig long")
+
+    arr = {i: np.uint64(np.int64(v)) for i, v in sigs}
+    for k in (0, 4, 10):
+        expect = set()
+        ids = sorted(arr)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                h = bin(int(arr[ids[x]] ^ arr[ids[y]])).count("1")
+                if h <= k:
+                    expect.add((ids[x], ids[y], h))
+        got = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in hamming_neardup_pairs(df, "sig", max_hamming=k).collect()
+        }
+        assert got == expect, f"k={k}: {got ^ expect}"
+
+
+def test_simhash_matches_sequential_reference(spark, docs_with_dups):
+    """Vectorized simhash64 == the sequential FNV/bit-vote definition."""
+    from scalpel_spark.textops import _WORD_RE, simhash64
+
+    def ref(text):
+        words = _WORD_RE.findall(text.lower())
+        if not words:
+            return 0
+        votes = [0] * 64
+        for w in words:
+            h = 1469598103934665603
+            for byte in w.encode():
+                h = ((h ^ byte) * 1099511628211) & ((1 << 64) - 1)
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        v = sum(1 << i for i in range(64) if votes[i] >= 0)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    got = {r.doc_id: r.simhash for r in simhash64(docs_with_dups).collect()}
+    for row in docs_with_dups.collect():
+        assert got[row.doc_id] == ref(row.text), row.doc_id
+
+
+def test_fingerprint_matches_sequential_reference(spark, docs_with_dups):
+    from scalpel_spark.textops import _WORD_RE, doc_fingerprint
+
+    def ref(text):
+        h = 0
+        for w in _WORD_RE.findall(text.lower()):
+            wh = 1469598103934665603
+            for byte in w.encode():
+                wh = ((wh ^ byte) * 1099511628211) & ((1 << 64) - 1)
+            h = (h * 31 + wh) & ((1 << 64) - 1)
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    got = {r.doc_id: r.fingerprint for r in doc_fingerprint(docs_with_dups).collect()}
+    for row in docs_with_dups.collect():
+        assert got[row.doc_id] == ref(row.text), row.doc_id
+
+
+def test_ann_lsh_recall_gate(spark):
+    """r1 fix: single-table 12-plane LSH had recall ≈ 0. The multi-table
+    + multiprobe configuration must reach ≥ 0.9 measured recall against
+    exact cosine top-k on the real embeddings table."""
+    from scalpel_spark.annops import lsh_recall
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") % 97 == 0)
+    row = lsh_recall(e, q, k=5).collect()[0]
+    assert row.n_exact > 0 and row.n_queries > 0
+    assert row.n_hit / row.n_exact >= 0.9, row
+
+
 @pytest.fixture(scope="module")
 def images_df(spark, tmp_path_factory):
     from scalpel_spark.datagen.world import WorldParams, write_world

@@ -61,10 +61,6 @@ def test_query_runs_and_matches_oracle(spark, ddb, name):
 
     sdf = QUERIES[name](spark, SF_DIR)
     spdf = sdf.toPandas()
-    if name == "bloom_prefilter_semantics":
-        # invariant query: result must be EMPTY (no false negatives)
-        assert len(spdf) == 0
-        return
     assert len(spdf) >= 0
     if name not in ORACLES:
         # rows-only contract: runs, stable schema
