@@ -252,16 +252,26 @@ def exact_jaccard_verify(
     threshold — the verification stage of the candidate→verify dedup
     pipeline. Shuffles carry only (id, shingle-array) for candidates,
     never the corpus."""
-    sh = docs.select(F.col(id_col), shingle_set_col(F.col(text_col), shingle_k).alias("sh"))
+    pairs = pairs.select("id_a", "id_b").distinct()
+    # shingle arrays are built ONLY for docs that appear in a candidate
+    # pair (semi-join prune): verification cost scales with the
+    # candidate set, not the corpus
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = docs.join(ids, id_col, "left_semi")
+    sh = needed.select(
+        F.col(id_col), shingle_set_col(F.col(text_col), shingle_k).alias("sh")
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     j = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_distinct(F.concat("sh_a", "sh_b"))
     )
     return (
-        pairs.select("id_a", "id_b")
-        .distinct()
-        .join(a, "id_a")
+        pairs.join(a, "id_a")
         .join(b, "id_b")
         .select("id_a", "id_b", F.round(j * 10000).cast("long").alias("jacc_i4"))
         .where(F.col("jacc_i4") >= int(round(threshold * 10000)))
@@ -272,8 +282,20 @@ def exact_jaccard_verify(
 # simhash
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit simhash over word hashes (per-doc numpy bit-vote)."""
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """64-bit simhash: per-doc numpy bit-vote over k-word shingle hashes.
+
+    Shingle features (k=3 default), not bare words: with a small
+    vocabulary, word-level bit votes correlate across unrelated docs and
+    hamming stops discriminating (measured here: 2.05M of 12.2M doc
+    pairs under distance 12 at sf0.1 word-level vs 260 shingle-level —
+    near-dups stay ≤ ~10 while unrelated pairs sit near 32). ``shingle_k=1``
+    recovers word-level simhash."""
     schema = T.StructType(
         [
             T.StructField(id_col, df.schema[id_col].dataType),
@@ -285,10 +307,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     def gen(batches):
         for pdf in batches:
             out = []
-            for hs in _word_hash_arrays(pdf[text_col]):
-                if len(hs) == 0:
+            for wh in _word_hash_arrays(pdf[text_col]):
+                if len(wh) == 0:
                     out.append(0)
                     continue
+                hs = _shingle_hashes_from_words(wh, shingle_k)
                 bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
                     np.int64
                 )

@@ -142,8 +142,18 @@ def test_hamming_neardup_pairs_exact_vs_bruteforce(spark):
 
 
 def test_simhash_matches_sequential_reference(spark, docs_with_dups):
-    """Vectorized simhash64 == the sequential FNV/bit-vote definition."""
+    """Vectorized simhash64 == a sequential FNV→shingle-poly→fmix→
+    bit-vote reference (shingle_k=1: one feature per word)."""
     from scalpel_spark.textops import _WORD_RE, simhash64
+
+    def fmix(h):
+        m = (1 << 64) - 1
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & m
+        h ^= h >> 33
+        h = (h * 0xC4CEB9FE1A85EC53) & m
+        h ^= h >> 33
+        return h
 
     def ref(text):
         words = _WORD_RE.findall(text.lower())
@@ -154,12 +164,16 @@ def test_simhash_matches_sequential_reference(spark, docs_with_dups):
             h = 1469598103934665603
             for byte in w.encode():
                 h = ((h ^ byte) * 1099511628211) & ((1 << 64) - 1)
+            h = fmix(h)
             for i in range(64):
                 votes[i] += 1 if (h >> i) & 1 else -1
         v = sum(1 << i for i in range(64) if votes[i] >= 0)
         return v - (1 << 64) if v >= (1 << 63) else v
 
-    got = {r.doc_id: r.simhash for r in simhash64(docs_with_dups).collect()}
+    got = {
+        r.doc_id: r.simhash
+        for r in simhash64(docs_with_dups, shingle_k=1).collect()
+    }
     for row in docs_with_dups.collect():
         assert got[row.doc_id] == ref(row.text), row.doc_id
 
