@@ -84,12 +84,18 @@ def main() -> None:
     # warm the JVM/Python-worker pool once (not timed)
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # best-of-2 per query: this host's hypervisor steal gives identical
+    # Spark jobs 2-10x spread; min is the robust engine-capability
+    # estimator (same methodology as the scaling bench / crawl phase)
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         extras[f"{name}_rows"] = n
 
     # --- extraction throughput over the synthetic world ------------------

@@ -181,6 +181,36 @@ def lsh_topk(
     )
 
 
+def cosine_similarity_join(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine similarity self-join (range join): all pairs
+    id_a < id_b with cos ≥ threshold, as (id_a, id_b, cos_i4) with
+    cos_i4 = round(cos·10⁴). JVM-side throughout (zip_with/aggregate in
+    codegen). O(N²/2) by construction — the exact embedding-near-dup
+    baseline; for the sub-quadratic scale path generate candidates with
+    ``hyperplane_signatures`` buckets and verify pairs through this same
+    scoring expression."""
+    dvec = F.transform(vec_col, lambda x: x.cast("double"))
+    base = vectors.select(F.col(id_col), dvec.alias("v"), _norm(dvec).alias("n"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos * 10000).cast("long").alias("cos_i4"))
+        .where(F.col("cos_i4") >= int(round(threshold * 10000)))
+    )
+
+
 def lsh_recall(
     vectors: DataFrame,
     queries: DataFrame,

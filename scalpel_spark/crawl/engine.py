@@ -299,17 +299,23 @@ class CrawlEngine:
             df.schema.fields + [T.StructField("maybe_seen", T.BooleanType())]
         )
         if self.bloom_mode == "broadcast":
+            from pyspark.sql.functions import pandas_udf
+
             bc = self.spark.sparkContext.broadcast(self.bloom.to_rows())
 
-            def probe(batches):
-                bf = BloomShards.from_rows(bc.value)
-                for pdf in batches:
-                    hashes = pdf[hash_col].to_numpy(dtype=np.int64)
-                    pdf = pdf.copy()
-                    pdf["maybe_seen"] = bf.contains_many(hashes)
-                    yield pdf[names + ["maybe_seen"]]
+            # scalar pandas UDF on the hash column only: Arrow moves one
+            # int64 column each way instead of round-tripping whole link
+            # rows (url/parent/host strings) through the Python worker
+            state: dict = {}
 
-            return df.mapInPandas(probe, schema)
+            @pandas_udf(T.BooleanType())
+            def probe(hashes: pd.Series) -> pd.Series:
+                bf = state.get("bf")
+                if bf is None:
+                    bf = state["bf"] = BloomShards.from_rows(bc.value)
+                return pd.Series(bf.contains_many(hashes.to_numpy(dtype=np.int64)))
+
+            return df.withColumn("maybe_seen", probe(F.col(hash_col)))
 
         # partitioned: cogroup(link rows, bloom delta rows) on shard
         _, m, k = self._bloom_cfg

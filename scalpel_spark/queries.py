@@ -815,6 +815,23 @@ def token_count_docs(spark, sf_dir):
 
 
 @q(
+    "token_count_bpe_docs",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'
+           )) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe_docs(spark, sf_dir):
+    from scalpel_spark.textops import token_count_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    return token_count_bpe(d).select("doc_id", "n_bpe_tokens")
+
+
+@q(
     "quality_docs",
     """
     SELECT doc_id, CAST(ROUND((
@@ -995,6 +1012,33 @@ def ann_lsh_recall(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 97 == 0)
     return lsh_recall(e, queries, k=5)
+
+
+@q(
+    "embedding_similarity_join",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos_i4 FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(ROUND(list_sum([a.e[i] * b.e[i] FOR i IN range(1, 65)])
+                        / (a.n * b.n) * 10000) AS BIGINT) AS cos_i4
+      FROM v a, v b WHERE a.vec_id < b.vec_id)
+    WHERE cos_i4 >= 3500
+    """,
+)
+def embedding_similarity_join(spark, sf_dir):
+    """Exact cosine range self-join over the embedding table (the
+    embedding-near-dup baseline); oracle brute-forces the same rounded
+    cosine in DOUBLE (the float32 builtin would flip rounding at the
+    boundary)."""
+    from scalpel_spark.annops import cosine_similarity_join
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_similarity_join(e, threshold=0.35)
 
 
 @q(

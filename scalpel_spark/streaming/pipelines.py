@@ -46,8 +46,12 @@ def stream_extract_images(
 
     ``foreachBatch`` is used (rather than a plain streaming map) so each
     micro-batch goes through the exact batch extraction path — identical
-    results to the BSP engine, exactly-once via the checkpointed batch id.
-    Returns the started StreamingQuery.
+    results to the BSP engine. ``foreachBatch`` alone is only
+    at-least-once: a micro-batch retried after a partial append would
+    duplicate rows — so the sink is made IDEMPOTENT by partitioning on
+    the checkpointed ``batch_id`` and dynamically overwriting exactly
+    that partition; a retry replaces its own output instead of appending
+    beside it (r1 ADVICE fix). Returns the started StreamingQuery.
     """
     scraper = _default_scraper()
     pages = (
@@ -64,8 +68,12 @@ def stream_extract_images(
             carry_cols=["url"],
             prefilter="img",
         )
-        out.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            os.path.join(out_dir, "images")
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "images"))
         )
 
     writer = (

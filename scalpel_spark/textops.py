@@ -477,6 +477,19 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", n)
 
 
+#: GPT-2-style pre-tokenizer shape (contractions, space-prefixed word /
+#: number / punctuation runs, whitespace) restricted to ASCII classes so
+#: Java regex (Spark) and RE2 (DuckDB oracle) agree byte-for-byte
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish token count (pre-tokenizer segmentation, the standard
+    proxy for LLM token budgeting) — pure JVM regexp, codegen path."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    return df.withColumn("n_bpe_tokens", F.size(toks).cast("long"))
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Length/punctuation/uppercase heuristics — pure JVM path; score
     scaled to int to keep oracle comparison exact."""

@@ -50,7 +50,9 @@ def main() -> None:
     spark = get_spark(
         app=f"crawl_scaling_{args.cpus}",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=args.shuffle_partitions or max(args.cpus, 8),
+        # 4x slots: shuffle stages get tail-balanced waves (8 partitions
+        # on 8 cores = one ragged wave); AQE coalesces the small ones
+        shuffle_partitions=args.shuffle_partitions or max(8, args.cpus * 4),
     )
     # warm up JVM + python worker pool before timing
     spark.range(10_000).selectExpr("sum(id)").collect()
