@@ -954,6 +954,49 @@ def minhash_neardup_docs(spark, sf_dir):
     return exact_jaccard_verify(cand, d, threshold=0.5)
 
 
+@q(
+    "dedup_clusters_docs",
+    """
+    WITH RECURSIVE d AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS words FROM documents
+    ), s AS (
+      SELECT doc_id, CASE WHEN len(words)=0 THEN ['']
+             WHEN len(words)<3 THEN [array_to_string(words,' ')]
+             ELSE list_distinct([array_to_string(words[i:i+2],' ')
+                                 FOR i IN range(1,len(words)-1)]) END AS sh FROM d
+    ), e AS (
+      SELECT a.doc_id AS u, b.doc_id AS v FROM s a, s b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(ROUND(len(list_intersect(a.sh,b.sh))::DOUBLE
+                       / len(list_distinct(a.sh||b.sh)) * 10000) AS BIGINT) >= 5000
+    ), edges AS (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), walk AS (
+      SELECT doc_id AS node, doc_id AS reach FROM documents
+      UNION
+      SELECT w.node, edges.v AS reach FROM walk w JOIN edges ON w.reach = edges.u
+    )
+    SELECT node AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY node
+    """,
+)
+def dedup_clusters_docs(spark, sf_dir):
+    """Near-dup connected components → canonical representative per doc
+    (iterative min-label propagation, rounds = component diameter); the
+    oracle walks the same verified-jaccard edge set with a recursive CTE.
+    This is the keep/drop key a corpus-dedup pipeline materializes."""
+    from scalpel_spark.textops import (
+        exact_jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        neardup_clusters,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    pairs = exact_jaccard_verify(lsh_candidate_pairs(sigs, n_bands=16), d, 0.5)
+    return neardup_clusters(d, pairs)
+
+
 @q("simhash_neardup_docs", _NEARDUP_ORACLE_SQL)
 def simhash_neardup_docs(spark, sf_dir):
     """SimHash candidates (hamming ≤ 12 via pigeonhole chunking over

@@ -278,6 +278,53 @@ def exact_jaccard_verify(
     )
 
 
+def neardup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pair edges → per-doc canonical
+    representative (the min id reachable through dup edges) — what a
+    dedup pipeline actually keys its keep/drop decision on.
+
+    Iterative min-label propagation: each round is one join + groupBy
+    (label flows one hop), so rounds = component diameter — 1-2 for the
+    clique-ish clusters dup detection produces. Each round's labels are
+    persisted and the loop stops at fixpoint via an aggregate count (a
+    scalar driver decision, not a data collect)."""
+    sym = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    backing = docs.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("cluster_id")
+    ).persist()
+    labels = backing
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        nxt = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("improved"),
+            )
+        ).persist()
+        changed = nxt.where(F.col("improved")).limit(1).count()
+        backing.unpersist()
+        backing = nxt
+        labels = nxt.select("node", "cluster_id")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # simhash
 

@@ -126,7 +126,7 @@ def main() -> None:
     # jobs (host-level noise; pure-CPU tests stay stable). Interleave
     # repeats and take the best per level — min is the robust estimator
     # of what the engine can do.
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     world = ensure_world(args.pages)
@@ -148,7 +148,7 @@ def main() -> None:
                     args.rounds,
                     warmup=warmup,
                     mode=mode,
-                    attempts=1,
+                    attempts=2,
                 )
                 print(r, file=sys.stderr)
                 best = results[mode].get(cpus)
