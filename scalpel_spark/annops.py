@@ -70,7 +70,7 @@ def cosine_topk(
 def hyperplane_signatures(
     df: DataFrame,
     n_tables: int = 16,
-    n_planes: int = 6,
+    n_planes: int = 5,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -131,7 +131,7 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 5,
     n_tables: int = 16,
-    n_planes: int = 6,
+    n_planes: int = 5,
     multiprobe: int = 3,
     seed: int = 42,
     id_col: str = "vec_id",

@@ -570,9 +570,17 @@ class CrawlEngine:
             est = prev_batch if prev_batch is not None else n_pending
             par = int(min(slots * 4, max(slots, est // 32 + 1)))
             if self.fetch_mode == "corpus":
-                fetched_in = batch.join(
-                    self.pages.select("url", "html", "status"), "url", "left"
-                ).repartition(par)
+                # resolver join: broadcast the politeness-bounded batch
+                # (≤ Σ budgets by construction) so the fat corpus side is
+                # scanned in place — otherwise the planner sort-merge
+                # shuffles every page body once per round. (This join is
+                # the offline stand-in for HTTP GET; at real scale
+                # fetch_mode='http' has no join at all.)
+                fetched_in = (
+                    self.pages.select("url", "html", "status")
+                    .join(F.broadcast(batch), "url", "right")
+                    .repartition(par)
+                )
             else:
                 # real HTTP GET inside the task: the politeness window
                 # upstream bounds per-host request counts per round

@@ -1033,16 +1033,32 @@ def ann_cosine_topk(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
-@q("ann_lsh_topk", None)  # approximate (recall<1 by design) — rows-only
+@q(
+    "ann_lsh_topk",
+    """
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                                         v.vec_id) AS rank
+      FROM embeddings q, embeddings v
+      WHERE q.vec_id % 97 = 0 AND v.vec_id <> q.vec_id)
+    WHERE rank <= 5
+    """,
+)
 def ann_lsh_topk(spark, sf_dir):
     """Multi-table + multiprobe hyperplane LSH top-k (r1 fix: the old
-    single-table variant returned 0 rows). Recall is measured, not
-    assumed — see ``ann_lsh_recall`` and tests/test_ops.py."""
+    single-table variant returned 0 rows). Recall is probabilistic in
+    general; at this table's scale the 16×5-plane multiprobe-3 config
+    measures recall = 1.0 (see ``ann_lsh_recall``), so the exact
+    brute-force top-k IS the oracle — any recall loss fails the gate."""
     from scalpel_spark.annops import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 97 == 0)
-    return lsh_topk(e, queries, k=5)
+    return lsh_topk(e, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
 
 
 @q("ann_lsh_recall", None)  # self-measuring gate: n_hit/n_exact vs brute force

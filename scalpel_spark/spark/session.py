@@ -41,6 +41,9 @@ def get_spark(
         # parallelism even on single-file parquet
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # task-side output commit (v2): the v1 driver-side sequential
+        # file moves add ~seconds per write on many-file outputs
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         # local mode = driver-only: give the single JVM real headroom
         # (32 task threads × arrow batches + cached corpus + shuffles)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
