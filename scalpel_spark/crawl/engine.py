@@ -2,45 +2,77 @@
 
 One round (SURVEY §3.4):
 
-  frontier snapshot
-    → politeness batch   (broadcast robots join; two-phase salted
-                          window-rank per host — skew-bounded top-k)
-    → resolver join      (frontier ⋈ corpus on url; the offline stand-in
-                          for the HTTP fetch stage, URL.hs:72-82)
-    → extraction         (one Arrow-batched mapInPandas pass: images +
-                          canonical outlinks + murmur3 hashes per page)
-    → link dedup         (min-by-parent-fetch-seq groupBy — matches the
-                          simulator's first-discoverer-wins rule)
-    → robots filter      (broadcast join + JVM-side prefix check)
-    → bloom prefilter    (definite-new rows BYPASS the anti-join; only
-                          maybe-seen rows shuffle)
-    → seen anti-join     (exact decision on (url_hash, url); bloom is
-                          prune-only, so exactness never depends on fpp)
+  pending frontier     (delta view: base ∪ link-deltas − fetched
+                        tombstones; never rewritten, see below)
+    → politeness batch (broadcast robots join; two-phase salted
+                        window-rank per host — skew-bounded top-k)
+    → fetch            (corpus mode: broadcast-inner resolver join —
+                        the corpus is scanned in place, never shuffled;
+                        http mode: GET inside the task, URL.hs:72-82)
+    → extraction       (one Arrow-batched mapInPandas pass: images +
+                        canonical outlinks + murmur3 hashes per page)
+    → link dedup       (min-by-parent-fetch-seq groupBy — matches the
+                        simulator's first-discoverer-wins rule)
+    → robots filter    (broadcast join + JVM-side prefix check)
+    → bloom prefilter  (definite-new rows BYPASS the seen check; only
+                        maybe-seen rows are verified)
+    → seen check       (exact decision on (url_hash, url): the seen
+                        history is ONLY SCANNED — the small maybe-seen
+                        set is broadcast INTO it (semi join), and the
+                        matches are broadcast back out (anti join), so
+                        no Exchange ever touches the crawl history;
+                        bloom is prune-only, exactness never depends
+                        on fpp)
     → two writes + manifest commit
+
+Frontier storage is DELTA-ONLY (the Iceberg-style pattern):
+
+  * ``frontier_delta`` (round r) = just that round's confirmed-new
+    links. The union of all deltas IS the URL-seen table — one write
+    serves both roles, and the write is O(new links), never
+    O(frontier).
+  * pending frontier for round r = base ∪ deltas since base, minus the
+    fetch-log tombstones since base (a BROADCAST anti-join: tombstones
+    are politeness-bounded ≤ compact_interval × Σ budgets — the big
+    side is read+filtered in place, no shuffle, no rewrite).
+  * every ``frontier_compact_every`` rounds the pending view is
+    materialized once as ``frontier_base`` (amortized O(pending)/C per
+    round), exactly like the bloom table's delta+compact cycle.
 
 Fixed per-round cost budget (the thing that decides N→4N scaling at a
 fixed round count): exactly THREE Spark actions per round —
 
-  1. write ``round_data``    (politeness + resolver + extraction; the
-                              fetch log and the image records are column
-                              /explode VIEWS over this one table)
-  2. write ``frontier_next`` (link dedup + robots + bloom + anti-join;
-                              partitioned by ``is_new`` so the seen
-                              table is the union of the ``is_new=true``
-                              partitions — no separate seen write)
-  3. bloom delta update      (broadcast mode: collect of n_shards tiny
-                              delta rows; partitioned mode: distributed
-                              append of delta shard rows — no driver
-                              traffic at all)
+  1. write ``round_data``     (politeness + fetch + extraction; the
+                               fetch log and the image records are
+                               column/explode VIEWS over this table,
+                               and its (url_hash,url) columns are the
+                               frontier tombstones — no extra write)
+  2. write ``frontier_delta`` (link dedup + robots + bloom + exact
+                               seen check; O(new links) bytes)
+  3. bloom delta update       (broadcast mode: collect of n_shards tiny
+                               delta rows; partitioned mode: distributed
+                               append of delta shard rows)
+
+plus one O(pending) ``frontier_base`` write every C rounds. Actions 2
+and 3 re-derive their inputs from the round's DURABLE parquet (the
+files written by the previous action), never from cached lineage — so
+a lost cache partition can never recompute a non-deterministic fetch
+(http mode) into a different answer: what was committed is what every
+later stage sees.
 
 Row counts and per-round metrics come from ``Observation`` metrics
-attached to the two writes — the data is never re-read to count it.
+attached to the writes — the data is never re-read to count it.
 
 Scale notes (10^10 frontier, 1000 executors):
-* the full frontier is never collected; every per-round structure is a
-  DataFrame. Driver state = bloom shards (broadcast mode only) + scalar
-  counters; in partitioned mode the bloom lives only as a sharded
-  parquet table probed via a co-grouped join.
+* the full frontier is never collected *or rewritten*; every per-round
+  structure is a DataFrame over immutable parquet deltas. Driver state
+  = bloom shards (broadcast mode only) + scalar counters; in
+  partitioned mode the bloom lives only as a sharded parquet table
+  probed via a co-grouped join.
+* per-round shuffles touch only politeness-bounded or per-round-link
+  data: the politeness window (O(pending) — the priority queue), link
+  dedup (O(links/round)), bloom shard grouping (O(new/round)). The
+  corpus, the seen history, and the frontier base move zero bytes.
 * politeness ranking partitions by host; hot hosts are pre-pruned by a
   salted first-phase top-k so no partition ever sees more than
   ``n_salts × budget`` rows per host.
@@ -52,9 +84,9 @@ Scale notes (10^10 frontier, 1000 executors):
   cardinality.
 * exact resume: state lives in per-round parquet + manifest
   (tableio.SnapshotStore); a torn round never commits. The broadcast
-  bloom is rebuilt from the committed seen rows on resume (one
+  bloom is rebuilt from the committed deltas on resume (one
   distributed job) — extra bits from a torn round are false positives
-  only, which the anti-join absorbs.
+  only, which the exact seen check absorbs.
 """
 
 from __future__ import annotations
@@ -87,6 +119,9 @@ from .urlnorm import canonicalize_url, url_host
 FRONTIER_SCHEMA = (
     "url string, url_hash long, host string, priority double, depth int, parent_url string"
 )
+
+_FRONTIER_COLS = ["url", "url_hash", "host", "priority", "depth", "parent_url"]
+_BATCH_COLS = ["fetch_seq", "url", "url_hash", "host", "parent_url", "priority", "depth"]
 
 _EXTRACT_SCHEMA = T.StructType(
     [
@@ -170,6 +205,11 @@ class CrawlEngine:
       ``applyInPandas`` join on ``shard`` (no broadcast, no driver
       bytes), and each round appends delta shard rows (near-empty
       bitsets compress to ~nothing) with periodic OR-compaction.
+
+    ``frontier_compact_every``: rounds between ``frontier_base``
+    materializations. Between compactions the pending view carries one
+    broadcast tombstone set of ≤ C × Σ budgets keys; raising C trades
+    broadcast size for fewer O(pending) writes.
     """
 
     def __init__(
@@ -184,6 +224,7 @@ class CrawlEngine:
         bloom_k: int = 7,
         bloom_mode: str = "broadcast",
         bloom_compact_every: int = 16,
+        frontier_compact_every: int = 8,
         fetch_mode: str = "corpus",
         fetch_config=None,
     ):
@@ -197,13 +238,25 @@ class CrawlEngine:
         self._bloom_cfg = (bloom_shards, bloom_bits_per_shard, bloom_k)
         self.bloom_mode = bloom_mode
         self.bloom_compact_every = bloom_compact_every
+        self.frontier_compact_every = frontier_compact_every
         self.bloom = BloomShards(bloom_shards, bloom_bits_per_shard, bloom_k)
+        self._bloom_bc = None  # current round's broadcast handle (broadcast mode)
+        self._base_round = -1  # latest round with a frontier_base (−1 = seed delta)
         self.fetch_mode = fetch_mode
         if fetch_config is None:
             from .fetch import FetchConfig
 
             fetch_config = FetchConfig()
         self.fetch_config = fetch_config
+
+        if bloom_mode == "partitioned":
+            # crash recovery for _bloom_compact's two-rename swap: a crash
+            # between the renames leaves only `<table>.old`; restore it so
+            # resume sees a bloom (stale bits are FP-only, absorbed by the
+            # exact seen check)
+            old = self._bloom_table + ".old"
+            if not os.path.exists(self._bloom_table) and os.path.exists(old):
+                os.rename(old, self._bloom_table)
 
         # corpus mode resolves URLs against the pages table (the offline
         # stand-in for HTTP GET); http mode GETs them for real inside the
@@ -302,6 +355,7 @@ class CrawlEngine:
             from pyspark.sql.functions import pandas_udf
 
             bc = self.spark.sparkContext.broadcast(self.bloom.to_rows())
+            self._bloom_bc = bc  # destroyed after the round's actions finish
 
             # scalar pandas UDF on the hash column only: Arrow moves one
             # int64 column each way instead of round-tripping whole link
@@ -343,6 +397,14 @@ class CrawlEngine:
         )
         return probed.drop("__shard")
 
+    def _bloom_release(self) -> None:
+        """Drop the previous round's bloom broadcast from executors and
+        driver — without this, broadcast-mode shard bytes accumulate for
+        the life of the crawl (one full bloom copy per round)."""
+        if self._bloom_bc is not None:
+            self._bloom_bc.destroy()
+            self._bloom_bc = None
+
     def _bloom_delta(self, df_hashes: DataFrame, hash_col: str) -> DataFrame:
         """Distributed per-shard delta bitset build (grouped Arrow UDF)."""
         n_shards, m, k = self._bloom_cfg
@@ -374,9 +436,9 @@ class CrawlEngine:
             delta.write.mode("append").parquet(self._bloom_table)
 
     def _bloom_compact(self) -> None:
-        """OR-merge the partitioned bloom table back to one row per shard
-        (atomic dir swap: a crash leaves the old table; extra delta rows
-        from a torn round only add false positives)."""
+        """OR-merge the partitioned bloom table back to one row per shard.
+        The swap is two renames; a crash between them is healed by the
+        ``.old`` restore in ``__init__`` (stale bits are FP-only)."""
         if self.bloom_mode != "partitioned":
             return
         _, m, k = self._bloom_cfg
@@ -406,34 +468,80 @@ class CrawlEngine:
 
     def _bloom_rebuild(self, upto_round: int) -> None:
         """Resume path (broadcast mode): one distributed job over the
-        committed seen rows rebuilds the driver shards exactly."""
+        committed frontier deltas rebuilds the driver shards exactly."""
         self.bloom = BloomShards(*self._bloom_cfg)
-        seen = self._read_seen(upto_round)
+        seen = self._seen_union(upto_round)
         if seen is None:
             return
         delta = self._bloom_delta(seen.select("url_hash"), "url_hash")
         for row in delta.collect():
             self.bloom.bits[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint8)
 
-    # --- seen table (a view over the frontier snapshots) ----------------
+    # --- frontier/seen delta views --------------------------------------
 
-    def _frontier_paths(self, upto_round: int) -> list[str]:
-        paths = [self.store.table_path(-1, "frontier_next")]
-        paths += [self.store.table_path(r, "frontier_next") for r in range(upto_round)]
-        return [p for p in paths if os.path.exists(p)]
+    def _delta_paths(self, lo: int, hi: int) -> list[str]:
+        """``frontier_delta`` paths for committed rounds lo..hi inclusive
+        (every committed round has one — empty rounds write an empty
+        parquet with the frontier schema)."""
+        return [self.store.table_path(r, "frontier_delta") for r in range(lo, hi + 1)]
 
-    def _read_seen(self, upto_round: int) -> DataFrame | None:
-        """URL-seen rows = the ``is_new=true`` partitions of every
-        committed frontier snapshot (partition-pruned scan: the
-        ``is_new=false`` directories are never read)."""
-        paths = [
-            os.path.join(p, "is_new=1")
-            for p in self._frontier_paths(upto_round)
-            if os.path.exists(os.path.join(p, "is_new=1"))
-        ]
+    def _seen_union(self, upto_round: int) -> DataFrame | None:
+        """URL-seen rows = every frontier delta committed before
+        ``upto_round`` (the seed delta at round −1 included). Column
+        pruning keeps this a 2-column scan of the delta files."""
+        paths = self._delta_paths(-1, upto_round - 1)
         if not paths:
             return None
         return self.spark.read.parquet(*paths).select("url_hash", "url")
+
+    def _pending_frontier(self, rnd: int) -> DataFrame:
+        """Pending rows entering round ``rnd``: the latest base snapshot,
+        plus deltas since it, minus the fetch-log tombstones since it.
+
+        The tombstone side is politeness-bounded (≤ C × Σ budgets rows),
+        so the anti-join BROADCASTS it — the base+delta side is scanned
+        and filtered in place, never shuffled, never rewritten."""
+        b = self._base_round
+        base = (
+            self.store.table_path(b, "frontier_base")
+            if b >= 0
+            else self.store.table_path(-1, "frontier_delta")
+        )
+        paths = [base] + self._delta_paths(b + 1, rnd - 1)
+        df = self.spark.read.parquet(*paths).select(*_FRONTIER_COLS)
+        tomb_rounds = [
+            r for r in range(b + 1, rnd) if os.path.exists(self.store.table_path(r, "round_data"))
+        ]
+        if tomb_rounds:
+            fetched = self.spark.read.parquet(
+                *[self.store.table_path(r, "round_data") for r in tomb_rounds]
+            ).select("url_hash", "url")
+            df = df.join(F.broadcast(fetched), ["url_hash", "url"], "left_anti")
+        return df
+
+    def _exact_new(self, maybe: DataFrame, rnd: int) -> DataFrame:
+        """Exact seen check with the crawl history scanned IN PLACE: the
+        maybe-seen set (bloom-positive links, per-round bounded) is
+        broadcast into a semi join against the delta files, and the
+        confirmed duplicates (≤ |maybe|) are broadcast back for the anti
+        join — the seen side never crosses an Exchange, so per-round
+        cost follows |maybe|, not |crawl history|."""
+        seen = self._seen_union(rnd)
+        dup_keys = seen.join(
+            F.broadcast(maybe.select("url_hash", "url")), ["url_hash", "url"], "left_semi"
+        )
+        return maybe.join(F.broadcast(dup_keys), ["url_hash", "url"], "left_anti")
+
+    def _compact_frontier(self, rnd: int) -> tuple[str, int]:
+        """Materialize the pending view once as ``frontier_base`` —
+        the amortized O(pending)/C cost that keeps the per-round
+        tombstone broadcast bounded."""
+        pend = self._pending_frontier(rnd + 1)
+        obs = Observation()
+        path = self.store.table_path(rnd, "frontier_base")
+        pend.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").parquet(path)
+        self._base_round = rnd
+        return path, int(obs.get["rows"])
 
     # ------------------------------------------------------------------
 
@@ -501,7 +609,64 @@ class CrawlEngine:
             )
             .drop("host_base")
         )
-        return cand, ranked, batch
+        return ranked, batch
+
+    def _fetch_batch(self, batch: DataFrame, n_pending: int, prev_batch: int | None):
+        """Politeness batch → (…, status, html) rows, partitioned for the
+        Python extraction stage.
+
+        Corpus mode is the offline stand-in for HTTP GET: a broadcast
+        INNER join (pages ⋈ bc(batch)) scans the fat corpus in place —
+        broadcast-right is unsupported for right-outer joins, so an
+        outer join here would silently sort-merge-shuffle every page
+        body each round. Batch URLs absent from the corpus (dangling
+        links — the simulator reports status 0) are recovered with a
+        second broadcast anti-join on the matched keys; the matched
+        side is persisted so the corpus is scanned once."""
+        slots = self.spark.sparkContext.defaultParallelism
+        est = prev_batch if prev_batch is not None else n_pending
+        # partition the python stage by the expected batch size (the
+        # previous round's, since budgets change slowly; ≥ slots, ≤
+        # 4× slots, ~32 pages/task) so tiny rounds don't pay 4×slots
+        # task overheads and fat rounds still get even waves
+        par = int(min(slots * 4, max(slots, est // 32 + 1)))
+        bsel = batch.select(*_BATCH_COLS)
+        if self.fetch_mode == "corpus":
+            matched = (
+                self.pages.select("url", "html", "status")
+                .join(F.broadcast(bsel), "url", "inner")
+                .persist()
+            )
+            missing = (
+                bsel.join(F.broadcast(matched.select("url")), "url", "left_anti")
+                .withColumn("html", F.lit(None).cast("string"))
+                .withColumn("status", F.lit(None).cast("int"))
+            )
+            fetched_in = matched.unionByName(missing.select(*matched.columns)).repartition(par)
+            return fetched_in, matched
+        # real HTTP GET inside the task: the politeness window upstream
+        # bounds per-host request counts per round
+        from .fetch import http_fetch_batch
+
+        cfg = self.fetch_config
+        sel = bsel.repartition(par)
+        fetch_schema = T.StructType(
+            sel.schema.fields
+            + [
+                T.StructField("status", T.IntegerType()),
+                T.StructField("html", T.StringType()),
+            ]
+        )
+
+        def fetch_gen(batches):
+            for pdf in batches:
+                st, ht = http_fetch_batch(pdf["url"].tolist(), cfg)
+                pdf = pdf.copy()
+                pdf["status"] = pd.Series(st, index=pdf.index, dtype="int64")
+                pdf["html"] = ht
+                yield pdf
+
+        return sel.mapInPandas(fetch_gen, fetch_schema), None
 
     def run(self, resume: bool = False) -> dict:
         spark = self.spark
@@ -513,34 +678,46 @@ class CrawlEngine:
                     "n_salts": self.n_salts,
                     "bloom": list(self._bloom_cfg),
                     "bloom_mode": self.bloom_mode,
+                    "frontier_compact_every": self.frontier_compact_every,
                     "priority_decay": PRIORITY_DECAY,
                     "default_budget": DEFAULT_BUDGET,
                 }
             )
             t0 = time.perf_counter()
-            seeded = self._seed_frontier().withColumn("is_new", F.lit(1)).persist()
             obs = Observation()
-            path = self.store.table_path(-1, "frontier_next")
-            seeded.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-                "overwrite"
-            ).partitionBy("is_new").parquet(path)
+            path = self.store.table_path(-1, "frontier_delta")
+            self._seed_frontier().select(*_FRONTIER_COLS).observe(
+                obs, F.count(F.lit(1)).alias("rows")
+            ).write.mode("overwrite").parquet(path)
             pending_rows = int(obs.get["rows"])
             t0 = _trace("bootstrap seed+write", t0)
-            self._bloom_update(seeded.select("url_hash"), "url_hash")
+            # bloom from the durable delta (deterministic lineage)
+            self._bloom_update(
+                spark.read.parquet(path).select("url_hash"), "url_hash"
+            )
             t0 = _trace("bootstrap bloom", t0)
             self.store.commit_round(
                 -1,
-                {"frontier_next": (path, pending_rows)},
-                {"n_fetched": 0, "total_fetched": 0, "n_pending": pending_rows},
+                {"frontier_delta": (path, pending_rows)},
+                {
+                    "n_fetched": 0,
+                    "total_fetched": 0,
+                    "n_pending": pending_rows,
+                    "n_pending_next": pending_rows,
+                },
             )
-            seeded.unpersist()
             start_round, seq_offset = 0, 0
+            self._base_round = -1
         else:
             manifest = self.store.read_manifest()
             entry = [r for r in manifest["rounds"] if r["round"] == last][0]
             seq_offset = entry["metrics"]["total_fetched"]
             start_round = last + 1
-            pending_rows = entry["tables"]["frontier_next"]["rows"]
+            pending_rows = entry["metrics"]["n_pending_next"]
+            base_rounds = [
+                r["round"] for r in manifest["rounds"] if "frontier_base" in r["tables"]
+            ]
+            self._base_round = max(base_rounds) if base_rounds else -1
             if self.bloom_mode == "broadcast":
                 self._bloom_rebuild(last + 1)
             # partitioned mode: the bloom table is already on disk; any
@@ -548,6 +725,7 @@ class CrawlEngine:
 
         rounds_sec = 0.0
         prev_batch: int | None = None
+        prev_new: int | None = None
         for rnd in range(start_round, self.max_rounds):
             round_t0 = time.perf_counter()
             # pending count comes from the previous round's committed
@@ -555,66 +733,15 @@ class CrawlEngine:
             n_pending = pending_rows
             if n_pending == 0:
                 break
-            frontier = spark.read.parquet(
-                self.store.table_path(rnd - 1, "frontier_next")
-            ).drop("is_new")
+            frontier = self._pending_frontier(rnd)
+            ranked, batch = self._politeness_batch(frontier, seq_offset)
+            fetched_in, matched = self._fetch_batch(batch, n_pending, prev_batch)
+            extracted = fetched_in.mapInPandas(
+                lambda it: _extract_batches(it), _EXTRACT_SCHEMA
+            ).withColumn("round", F.lit(rnd))
 
-            cand, ranked, batch = self._politeness_batch(frontier, seq_offset)
-
-            # --- resolver join + extraction -----------------------------
-            # partition the python stage by the expected batch size (the
-            # previous round's, since budgets change slowly; ≥ slots, ≤
-            # 4× slots, ~32 pages/task) so tiny rounds don't pay 4×slots
-            # task overheads and fat rounds still get even waves
-            slots = self.spark.sparkContext.defaultParallelism
-            est = prev_batch if prev_batch is not None else n_pending
-            par = int(min(slots * 4, max(slots, est // 32 + 1)))
-            if self.fetch_mode == "corpus":
-                # resolver join: broadcast the politeness-bounded batch
-                # (≤ Σ budgets by construction) so the fat corpus side is
-                # scanned in place — otherwise the planner sort-merge
-                # shuffles every page body once per round. (This join is
-                # the offline stand-in for HTTP GET; at real scale
-                # fetch_mode='http' has no join at all.)
-                fetched_in = (
-                    self.pages.select("url", "html", "status")
-                    .join(F.broadcast(batch), "url", "right")
-                    .repartition(par)
-                )
-            else:
-                # real HTTP GET inside the task: the politeness window
-                # upstream bounds per-host request counts per round
-                from .fetch import http_fetch_batch
-
-                cfg = self.fetch_config
-                sel = batch.select(
-                    "fetch_seq", "url", "url_hash", "host", "parent_url",
-                    "priority", "depth",
-                ).repartition(par)
-                fetch_schema = T.StructType(
-                    sel.schema.fields
-                    + [
-                        T.StructField("status", T.IntegerType()),
-                        T.StructField("html", T.StringType()),
-                    ]
-                )
-
-                def fetch_gen(batches):
-                    for pdf in batches:
-                        st, ht = http_fetch_batch(pdf["url"].tolist(), cfg)
-                        pdf = pdf.copy()
-                        pdf["status"] = pd.Series(st, index=pdf.index, dtype="int64")
-                        pdf["html"] = ht
-                        yield pdf
-
-                fetched_in = sel.mapInPandas(fetch_gen, fetch_schema)
-            extracted = (
-                fetched_in.mapInPandas(lambda it: _extract_batches(it), _EXTRACT_SCHEMA)
-                .withColumn("round", F.lit(rnd))
-                .persist()
-            )
-
-            # --- write 1: round_data (fetch log + images + links) -------
+            # --- write 1: round_data (fetch log + images + links; its
+            # (url_hash,url) columns double as the frontier tombstones) --
             t0 = time.perf_counter()
             obs1 = Observation()
             rd_path = self.store.table_path(rnd, "round_data")
@@ -626,22 +753,33 @@ class CrawlEngine:
             m1 = obs1.get
             n_fetched = int(m1["n_fetched"])
             prev_batch = n_fetched
+            ranked.unpersist()
+            if matched is not None:
+                matched.unpersist()
             t0 = _trace(f"r{rnd} politeness+fetch+extract+write", t0)
 
-            # --- new links: dedup → robots → bloom → exact anti-join ----
-            links = extracted.select(
-                "fetch_seq",
-                F.col("url").alias("parent_url"),
-                "priority",
-                "depth",
-                F.explode("links").alias("l"),
-            ).select(
-                F.col("l.url").alias("url"),
-                F.col("l.url_hash").alias("url_hash"),
-                "fetch_seq",
-                "parent_url",
-                "priority",
-                "depth",
+            # --- new links: dedup → robots → bloom → exact seen check ----
+            # derived from the DURABLE round_data, not the in-memory
+            # lineage: in http mode a recomputed (evicted) fetch could
+            # return different content — the committed file is the truth
+            # every downstream stage must see
+            links = (
+                spark.read.parquet(rd_path)
+                .select(
+                    "fetch_seq",
+                    F.col("url").alias("parent_url"),
+                    "priority",
+                    "depth",
+                    F.explode("links").alias("l"),
+                )
+                .select(
+                    F.col("l.url").alias("url"),
+                    F.col("l.url_hash").alias("url_hash"),
+                    "fetch_seq",
+                    "parent_url",
+                    "priority",
+                    "depth",
+                )
             )
             deduped = (
                 links.groupBy("url", "url_hash")
@@ -660,36 +798,34 @@ class CrawlEngine:
                 .withColumn("host", F.lower(F.parse_url(F.col("url"), F.lit("HOST"))))
             )
             allowed = self._filter_disallowed(deduped)
-            probed = self._bloom_maybe_seen(allowed, "url_hash")
+            probed = self._bloom_maybe_seen(allowed, "url_hash").persist()
             definite_new = probed.where(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = probed.where(F.col("maybe_seen")).drop("maybe_seen")
-            seen_df = self._read_seen(rnd)
-            confirmed_new = maybe.join(seen_df, ["url_hash", "url"], "left_anti")
-            new_entries = (
-                definite_new.unionByName(confirmed_new)
-                .select("url", "url_hash", "host", "priority", "depth", "parent_url")
-                .persist()
-            )
+            confirmed_new = self._exact_new(maybe, rnd)
+            new_entries = definite_new.unionByName(confirmed_new).select(*_FRONTIER_COLS)
 
-            # --- write 2: next frontier (is_new partitions = seen delta)
-            remaining = cand.select(
-                "url", "url_hash", "host", "priority", "depth", "parent_url"
-            ).join(batch.select("url_hash", "url"), ["url_hash", "url"], "left_anti")
-            frontier_next = remaining.withColumn("is_new", F.lit(0)).unionByName(
-                new_entries.withColumn("is_new", F.lit(1))
-            )
+            # --- write 2: frontier delta (O(new links) bytes) -----------
+            # bound the delta's file count (sized from the previous
+            # round's delta, ~100k rows/file): the naive union writes
+            # width×2 near-empty files per round, and every later round
+            # re-reads ALL deltas for the pending and seen views — file
+            # count is a per-round tax on the whole rest of the crawl
+            slots = self.spark.sparkContext.defaultParallelism
+            est_new = prev_new if prev_new is not None else n_pending
+            n_files = int(max(1, min(slots, est_new // 100_000 + 1)))
             obs2 = Observation()
-            fr_path = self.store.table_path(rnd, "frontier_next")
-            frontier_next.observe(
-                obs2,
-                F.count(F.lit(1)).alias("n_pending"),
-                F.coalesce(F.sum("is_new"), F.lit(0)).alias("n_new"),
-            ).write.mode("overwrite").partitionBy("is_new").parquet(fr_path)
-            m2 = obs2.get
-            t0 = _trace(f"r{rnd} links+antijoin+frontier write", t0)
+            fr_path = self.store.table_path(rnd, "frontier_delta")
+            new_entries.coalesce(n_files).observe(
+                obs2, F.count(F.lit(1)).alias("n_new")
+            ).write.mode("overwrite").parquet(fr_path)
+            n_new = int(obs2.get["n_new"])
+            prev_new = n_new
+            probed.unpersist()
+            t0 = _trace(f"r{rnd} links+seen-check+delta write", t0)
 
-            # --- bloom delta (action 3) ---------------------------------
-            self._bloom_update(new_entries.select("url_hash"), "url_hash")
+            # --- bloom delta (action 3; durable-delta lineage) -----------
+            self._bloom_update(spark.read.parquet(fr_path).select("url_hash"), "url_hash")
+            self._bloom_release()
             t0 = _trace(f"r{rnd} bloom delta", t0)
             if (
                 self.bloom_mode == "partitioned"
@@ -698,24 +834,30 @@ class CrawlEngine:
             ):
                 self._bloom_compact()
 
-            ranked.unpersist()
-            extracted.unpersist()
-            new_entries.unpersist()
-
-            pending_rows = int(m2["n_pending"])
+            pending_rows = n_pending - n_fetched + n_new
             seq_offset += n_fetched
+            tables = {
+                "round_data": (rd_path, n_fetched),
+                "frontier_delta": (fr_path, n_new),
+            }
+            if (
+                self.frontier_compact_every
+                and pending_rows > 0
+                and rnd - self._base_round >= self.frontier_compact_every
+            ):
+                bpath, brows = self._compact_frontier(rnd)
+                tables["frontier_base"] = (bpath, brows)
+                t0 = _trace(f"r{rnd} frontier compact", t0)
             self.store.commit_round(
                 rnd,
-                {
-                    "round_data": (rd_path, n_fetched),
-                    "frontier_next": (fr_path, pending_rows),
-                },
+                tables,
                 {
                     "n_pending": n_pending,
                     "n_fetched": n_fetched,
-                    "n_new_links": int(m2["n_new"]),
+                    "n_new_links": n_new,
                     "n_images": int(m1["n_images"]),
                     "total_fetched": seq_offset,
+                    "n_pending_next": pending_rows,
                 },
             )
             rounds_sec += time.perf_counter() - round_t0
@@ -739,7 +881,8 @@ class CrawlEngine:
         return self.spark.read.parquet(*self._round_data_paths()).select(*_FETCH_COLS)
 
     def seen_df(self) -> DataFrame:
-        return self._read_seen(10**6)
+        last = self.store.last_complete_round()
+        return self._seen_union((last if last is not None else -1) + 1)
 
     def images_df(self) -> DataFrame:
         return (

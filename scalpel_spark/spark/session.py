@@ -32,6 +32,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # let AQE re-coalesce shuffles UNDER cached plans too — the crawl
+        # engine persists mid-round frames (probe output, resolver batch)
+        # and without this every cached subtree pins full-width tiny tasks
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html payloads are fat rows — keep Arrow batches bounded so the

@@ -246,3 +246,58 @@ def test_resume_is_exact(spark, world_dir, sim_result, tmp_path_factory):
     assert _eng_log_tuples(eng2) == _sim_log_tuples(sim_result)
     eng_seen = {(r.url_hash, r.url) for r in eng2.seen_df().collect()}
     assert eng_seen == {(h, u) for h, u in sim_result.seen.items()}
+
+
+def test_frontier_compaction_is_exact(spark, world_dir, sim_result, tmp_path_factory):
+    """frontier_compact_every=2 forces the base+delta+tombstone view
+    through several compaction cycles — crawl order and seen set must
+    stay byte-identical, and frontier_base tables must actually appear
+    in the manifest."""
+    from scalpel_spark.crawl.engine import CrawlEngine
+
+    out = str(tmp_path_factory.mktemp("crawl_compact"))
+    eng = CrawlEngine(spark, world_dir, out, max_rounds=MAX_ROUNDS, frontier_compact_every=2)
+    summary = eng.run()
+    assert summary["total_fetched"] == len(sim_result.fetch_log)
+    assert _eng_log_tuples(eng) == _sim_log_tuples(sim_result)
+    eng_seen = {(r.url_hash, r.url) for r in eng.seen_df().collect()}
+    assert eng_seen == {(h, u) for h, u in sim_result.seen.items()}
+    bases = [
+        r["round"] for r in eng.store.read_manifest()["rounds"]
+        if "frontier_base" in r["tables"]
+    ]
+    assert len(bases) >= 2
+
+
+def test_seen_check_plan_never_shuffles_history(spark, world_dir, tmp_path_factory):
+    """Scale gate (VERDICT r2 task 2): the per-round exact seen check
+    must not move the crawl history through an Exchange. The physical
+    plan of _exact_new must be two BroadcastHashJoins with zero shuffle
+    exchanges — the history side is scan-only."""
+    from pyspark.sql import functions as F
+
+    from scalpel_spark.crawl.engine import CrawlEngine
+
+    out = str(tmp_path_factory.mktemp("crawl_plan"))
+    eng = CrawlEngine(spark, world_dir, out, max_rounds=3)
+    eng.run()
+    maybe = eng.seen_df().limit(20).withColumn("priority", F.lit(1.0))
+    plan = eng._exact_new(maybe, 3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_pending_frontier_plan_broadcasts_tombstones(spark, world_dir, tmp_path_factory):
+    """The pending-frontier view must anti-join the (small) fetch-log
+    tombstones via broadcast — the base+delta side is never shuffled or
+    rewritten (VERDICT r2 task 1)."""
+    from scalpel_spark.crawl.engine import CrawlEngine
+
+    out = str(tmp_path_factory.mktemp("crawl_plan2"))
+    eng = CrawlEngine(spark, world_dir, out, max_rounds=3)
+    eng.run()
+    plan = eng._pending_frontier(3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
