@@ -527,9 +527,11 @@ class CrawlEngine:
         join — the seen side never crosses an Exchange, so per-round
         cost follows |maybe|, not |crawl history|."""
         seen = self._seen_union(rnd)
-        dup_keys = seen.join(
-            F.broadcast(maybe.select("url_hash", "url")), ["url_hash", "url"], "left_semi"
-        )
+        # semi join on url_hash ONLY: the broadcast is 8 bytes/row
+        # instead of full URLs (driver build time is a serial per-round
+        # cost). Hash collisions just add rows to dup_keys; exactness
+        # comes from the final anti join on the full (url_hash, url) key
+        dup_keys = seen.join(F.broadcast(maybe.select("url_hash")), "url_hash", "left_semi")
         return maybe.join(F.broadcast(dup_keys), ["url_hash", "url"], "left_anti")
 
     def _compact_frontier(self, rnd: int) -> tuple[str, int]:
@@ -809,13 +811,17 @@ class CrawlEngine:
             # round's delta, ~100k rows/file): the naive union writes
             # width×2 near-empty files per round, and every later round
             # re-reads ALL deltas for the pending and seen views — file
-            # count is a per-round tax on the whole rest of the crawl
+            # count is a per-round tax on the whole rest of the crawl.
+            # repartition, NOT coalesce: coalesce would propagate the
+            # narrow width down into the dedup reduce and serialize the
+            # whole link phase; the extra shuffle here moves only the
+            # O(new links) narrow delta rows
             slots = self.spark.sparkContext.defaultParallelism
             est_new = prev_new if prev_new is not None else n_pending
             n_files = int(max(1, min(slots, est_new // 100_000 + 1)))
             obs2 = Observation()
             fr_path = self.store.table_path(rnd, "frontier_delta")
-            new_entries.coalesce(n_files).observe(
+            new_entries.repartition(n_files).observe(
                 obs2, F.count(F.lit(1)).alias("n_new")
             ).write.mode("overwrite").parquet(fr_path)
             n_new = int(obs2.get["n_new"])

@@ -747,18 +747,40 @@ def bloom_prefilter_semantics(spark, sf_dir):
     """Bloom prefilter no-false-negative invariant, emitted as a
     non-vacuous count row: every seen key must probe maybe_seen, so
     n_false_neg is 0 by construction and n_probed/n_seen prove the check
-    actually ran over the whole table (oracle recomputes both)."""
-    import numpy as np
+    actually ran over the whole table (oracle recomputes both).
 
-    from scalpel_spark.crawl.bloom import BloomShards
+    The bloom is built DISTRIBUTED (per-shard bitset rows via a grouped
+    Arrow UDF, the crawl engine's broadcast-mode pattern): the only
+    driver traffic is the n_shards-row shard-delta fold — bitset bytes,
+    never keys."""
+    import numpy as np
+    import pandas as pd
+
+    from scalpel_spark.crawl.bloom import BloomShards, build_bits
 
     o = _t(spark, sf_dir, "orders").select(
         F.xxhash64(F.col("o_orderkey")).alias("h"),
         (F.col("o_orderkey") % 2 == 0).alias("is_seen"),
     )
-    seen = [r.h for r in o.where("is_seen").collect()]
-    bf = BloomShards.for_capacity(max(len(seen), 1024), n_shards=4)
-    bf.add_many(np.array(seen, dtype=np.int64))
+    # capacity from parquet metadata (row count only — no scan)
+    n_rows = _t(spark, sf_dir, "orders").count()
+    bf = BloomShards.for_capacity(max(n_rows, 1024), n_shards=4)
+    n_shards, m, k = 4, bf.m, bf.k
+
+    def build_shard(key, pdf):
+        bits = build_bits(pdf["h"].to_numpy(np.int64), m, k)
+        return pd.DataFrame([{"shard": int(key[0]), "bits": bits.tobytes()}])
+
+    shard_expr = F.pmod(F.shiftrightunsigned(F.col("h"), 48), F.lit(n_shards)).cast("int")
+    delta = (
+        o.where("is_seen")
+        .select("h", shard_expr.alias("shard"))
+        .groupBy("shard")
+        .applyInPandas(build_shard, "shard int, bits binary")
+    )
+    # the documented broadcast-mode shard-delta fold: n_shards tiny rows
+    for row in delta.collect():
+        bf.bits[row["shard"]] |= np.frombuffer(row["bits"], dtype=np.uint8)
     bc = spark.sparkContext.broadcast(bf.to_rows())
 
     def probe(batches):
@@ -1061,16 +1083,28 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
-@q("ann_lsh_recall", None)  # self-measuring gate: n_hit/n_exact vs brute force
+@q(
+    "ann_lsh_recall",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS pass
+    FROM embeddings WHERE vec_id % 97 = 0
+    """,
+)
 def ann_lsh_recall(spark, sf_dir):
-    """One row (n_queries, n_exact, n_hit, recall_pct): LSH top-k hits
-    measured against the exact cosine top-k. The standing quality gate
-    for the ANN scale path; pytest asserts recall ≥ 0.9."""
+    """LSH recall gate as a verifiable row: (n_queries, pass) where
+    ``pass`` = measured recall vs the exact cosine top-k ≥ 90%. The
+    oracle recomputes n_queries from the same parquet and pins
+    pass=true, so any recall regression (or query-set drift) flips the
+    hash match. The raw recall_pct remains asserted ≥ 0.9 in pytest
+    (tests/test_ops.py) via ``lsh_recall`` directly."""
     from scalpel_spark.annops import lsh_recall
 
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 97 == 0)
-    return lsh_recall(e, queries, k=5)
+    return lsh_recall(e, queries, k=5).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        (F.col("recall_pct") >= 90.0).alias("pass"),
+    )
 
 
 @q(

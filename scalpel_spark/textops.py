@@ -252,7 +252,11 @@ def exact_jaccard_verify(
     threshold — the verification stage of the candidate→verify dedup
     pipeline. Shuffles carry only (id, shingle-array) for candidates,
     never the corpus."""
-    pairs = pairs.select("id_a", "id_b").distinct()
+    # the candidate subtree is referenced three times below (pairs, and
+    # both sides of the id prune) — persist so the (possibly expensive)
+    # blocking join runs once per action, not three times; the cached
+    # frame is just the candidate id pairs, tiny by construction
+    pairs = pairs.select("id_a", "id_b").distinct().persist()
     # shingle arrays are built ONLY for docs that appear in a candidate
     # pair (semi-join prune): verification cost scales with the
     # candidate set, not the corpus
@@ -381,14 +385,27 @@ def hamming_neardup_pairs(
     """EXACT pairs with hamming(sig_a, sig_b) ≤ max_hamming (output:
     id_a < id_b, hamming). Fixes both r1 VERDICT defects:
 
-    * recall: blocking uses ``max_hamming + 1`` chunks (pigeonhole: any
-      pair within distance k must agree on ≥1 of k+1 chunks), for ANY
-      requested distance — no more silent misses past 3;
+    * recall: blocking is pigeonhole-exact for ANY requested distance —
+      no silent misses past 3;
     * degenerate buckets: the chunk self-join runs over DISTINCT
       signature values, so a million docs sharing one signature (e.g.
       empty docs → simhash 0) cost ONE row in candidate generation;
       equal-signature doc pairs come from a separate equality join whose
       cost is bounded by its own output.
+
+    Two blocking regimes (both exact):
+
+    * narrow k (chunk width ≥ 8 bits): ``k + 1`` single chunks — any
+      pair within distance k has ≤ k differing chunks, so ≥ 1 chunk
+      matches exactly (Manku et al., WWW'07 regime).
+    * wide k: with ``k + 1`` chunks the per-chunk key space collapses
+      (k=12 ⇒ 4-5-bit chunks ⇒ ~32 buckets) and the self-join tends
+      quadratic in distinct sigs. Instead use ``k + 2`` chunks and
+      block on chunk PAIRS: ≤ k errors touch ≤ k chunks, leaving ≥ 2
+      chunks untouched, so every qualifying pair agrees exactly on some
+      (i < j) chunk pair — the join key carries both chunk values
+      (~9-10 bits for k=12), shrinking buckets ~32× for C(k+2,2)/(k+1)
+      ≈ 7× more (tiny) key rows.
     """
     base = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     # hamming == 0: equality join on the signature (no chunking needed)
@@ -407,29 +424,49 @@ def hamming_neardup_pairs(
     if max_hamming == 0:
         return same
 
-    n_chunks = max_hamming + 1
-    cbase, rem = divmod(bits, n_chunks)
-    chunk_exprs, off = [], 0
-    for i in range(n_chunks):
-        w = cbase + (1 if i < rem else 0)
-        mask = (1 << w) - 1
-        chunk_exprs.append(
-            F.shiftrightunsigned(F.col("_sig"), off).bitwiseAND(F.lit(mask))
-        )
-        off += w
+    pair_block = bits // (max_hamming + 1) < 8 and max_hamming + 2 <= bits
+    n_chunks = max_hamming + 2 if pair_block else max_hamming + 1
+
+    def chunk_exprs(n):
+        cbase, rem = divmod(bits, n)
+        exprs, off = [], 0
+        for i in range(n):
+            w = cbase + (1 if i < rem else 0)
+            mask = (1 << w) - 1
+            exprs.append(
+                F.shiftrightunsigned(F.col("_sig"), off).bitwiseAND(F.lit(mask))
+            )
+            off += w
+        return exprs
+
     uniq = base.select("_sig").distinct()
-    chunks = uniq.select(
-        "_sig", F.posexplode(F.array(*chunk_exprs)).alias("ci", "ch")
-    )
-    l, r = chunks.alias("l"), chunks.alias("r")
+    if pair_block:
+        arr = uniq.select("_sig", F.array(*chunk_exprs(n_chunks)).alias("chs"))
+        pair_structs = [
+            F.struct(
+                F.lit(i * n_chunks + j).alias("cij"),
+                F.col("chs")[i].alias("ca"),
+                F.col("chs")[j].alias("cb"),
+            )
+            for i in range(n_chunks)
+            for j in range(i + 1, n_chunks)
+        ]
+        keys = arr.select(
+            "_sig", F.explode(F.array(*pair_structs)).alias("k")
+        ).select("_sig", "k.cij", "k.ca", "k.cb")
+        join_cond = ["cij", "ca", "cb"]
+    else:
+        keys = uniq.select(
+            "_sig", F.posexplode(F.array(*chunk_exprs(n_chunks))).alias("ci", "ch")
+        )
+        join_cond = ["ci", "ch"]
+    l, r = keys.alias("l"), keys.alias("r")
+    cond = F.col("l._sig") < F.col("r._sig")
+    for c in join_cond:
+        cond &= F.col(f"l.{c}") == F.col(f"r.{c}")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     sig_pairs = (
-        l.join(
-            r,
-            (F.col("l.ci") == F.col("r.ci"))
-            & (F.col("l.ch") == F.col("r.ch"))
-            & (F.col("l._sig") < F.col("r._sig")),
-        )
+        l.join(r, cond)
         .select(F.col("l._sig").alias("sig_a"), F.col("r._sig").alias("sig_b"))
         .distinct()
         .withColumn("hamming", ham.cast("int"))
