@@ -622,35 +622,40 @@ class CrawlEngine:
         broadcast-right is unsupported for right-outer joins, so an
         outer join here would silently sort-merge-shuffle every page
         body each round. Batch URLs absent from the corpus (dangling
-        links — the simulator reports status 0) are recovered with a
-        second broadcast anti-join on the matched keys; the matched
-        side is persisted so the corpus is scanned once."""
+        links — the simulator reports status 0) are recovered with an
+        inverted probe that touches only the corpus's ``url`` COLUMN
+        (parquet column pruning: no html bytes), and extraction runs
+        directly on the scan partitions — page bodies are never
+        shuffled, persisted, or broadcast anywhere in the round."""
         slots = self.spark.sparkContext.defaultParallelism
         est = prev_batch if prev_batch is not None else n_pending
-        # partition the python stage by the expected batch size (the
-        # previous round's, since budgets change slowly; ≥ slots, ≤
-        # 4× slots, ~32 pages/task) so tiny rounds don't pay 4×slots
-        # task overheads and fat rounds still get even waves
-        par = int(min(slots * 4, max(slots, est // 32 + 1)))
         bsel = batch.select(*_BATCH_COLS)
         if self.fetch_mode == "corpus":
-            matched = (
-                self.pages.select("url", "html", "status")
-                .join(F.broadcast(bsel), "url", "inner")
-                .persist()
+            fetched = self.pages.select("url", "html", "status").join(
+                F.broadcast(bsel), "url", "inner"
+            )
+            # url-column-only scan → broadcast the (small) matched keys
+            # back out for the anti join; bsel is politeness-bounded so
+            # both broadcasts are ≤ batch-size rows
+            matched_urls = self.pages.select("url").join(
+                F.broadcast(bsel.select("url")), "url", "left_semi"
             )
             missing = (
-                bsel.join(F.broadcast(matched.select("url")), "url", "left_anti")
+                bsel.join(F.broadcast(matched_urls), "url", "left_anti")
                 .withColumn("html", F.lit(None).cast("string"))
                 .withColumn("status", F.lit(None).cast("int"))
             )
-            fetched_in = matched.unionByName(missing.select(*matched.columns)).repartition(par)
-            return fetched_in, matched
+            return fetched.unionByName(missing.select(*fetched.columns))
         # real HTTP GET inside the task: the politeness window upstream
-        # bounds per-host request counts per round
+        # bounds per-host request counts per round. Partition by the
+        # expected batch size (the previous round's, since budgets
+        # change slowly; ≥ slots, ≤ 4× slots, ~32 pages/task) so tiny
+        # rounds don't pay 4×slots task overheads and fat rounds still
+        # get even request waves
         from .fetch import http_fetch_batch
 
         cfg = self.fetch_config
+        par = int(min(slots * 4, max(slots, est // 32 + 1)))
         sel = bsel.repartition(par)
         fetch_schema = T.StructType(
             sel.schema.fields
@@ -668,7 +673,7 @@ class CrawlEngine:
                 pdf["html"] = ht
                 yield pdf
 
-        return sel.mapInPandas(fetch_gen, fetch_schema), None
+        return sel.mapInPandas(fetch_gen, fetch_schema)
 
     def run(self, resume: bool = False) -> dict:
         spark = self.spark
@@ -737,7 +742,7 @@ class CrawlEngine:
                 break
             frontier = self._pending_frontier(rnd)
             ranked, batch = self._politeness_batch(frontier, seq_offset)
-            fetched_in, matched = self._fetch_batch(batch, n_pending, prev_batch)
+            fetched_in = self._fetch_batch(batch, n_pending, prev_batch)
             extracted = fetched_in.mapInPandas(
                 lambda it: _extract_batches(it), _EXTRACT_SCHEMA
             ).withColumn("round", F.lit(rnd))
@@ -756,8 +761,6 @@ class CrawlEngine:
             n_fetched = int(m1["n_fetched"])
             prev_batch = n_fetched
             ranked.unpersist()
-            if matched is not None:
-                matched.unpersist()
             t0 = _trace(f"r{rnd} politeness+fetch+extract+write", t0)
 
             # --- new links: dedup → robots → bloom → exact seen check ----

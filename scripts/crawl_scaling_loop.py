@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Long-horizon crawl scaling measurement: alternate local[high]/local[low]
-crawl workers for a wall-clock budget, appending one JSON line per run to
-``--out``. The host's capacity comes and goes in minutes-long epochs
-(narrow runs are steady ±2%, wide runs swing 3×), so the honest estimate
-of ENGINE scaling needs minima taken across many interleaved epochs.
+"""Long-horizon scaling measurement: alternate local[high]/local[low]
+workers (full BSP crawl + fetch/extract kernel) for a wall-clock budget,
+appending one JSON line per run to ``--out``. The host's capacity comes
+and goes in minutes-long epochs (narrow runs are steady ±2%, wide runs
+swing 3×), so the honest estimate of ENGINE scaling needs minima and
+medians taken across many interleaved epochs — feed the output to
+``scripts/write_baseline.py``.
 
-Usage: python scripts/crawl_scaling_loop.py --minutes 60 --out /tmp/loop.jsonl
+Usage: python scripts/crawl_scaling_loop.py --minutes 120 --out /tmp/loop.jsonl
 """
 
 from __future__ import annotations
@@ -22,28 +24,39 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--minutes", type=float, default=60)
+    ap.add_argument("--minutes", type=float, default=120)
     ap.add_argument("--out", required=True)
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=3)
-    ap.add_argument("--world", default=os.path.join(REPO, "data", "scaling_world_120000_w8"))
+    ap.add_argument("--attempts", type=int, default=1)
+    ap.add_argument("--world", default=os.path.join(REPO, "data", "scaling_world_240000_w24"))
+    ap.add_argument("--kernel-world", default=os.path.join(REPO, "data", "scaling_world_120000_w24"))
     ap.add_argument("--warmup", default=os.path.join(REPO, "data", "warmup_world"))
     args = ap.parse_args()
 
     deadline = time.time() + args.minutes * 60
     i = 0
+    # high level first each cycle: it is the noise-sensitive one
+    pattern = [
+        ("crawl", args.high),
+        ("crawl", args.low),
+        ("kernel", args.high),
+        ("kernel", args.low),
+    ]
     while time.time() < deadline:
-        # high level first: it is the noise-sensitive one, give it more samples
-        for cpus in (args.high, args.low, args.high):
+        for mode, cpus in pattern:
             if time.time() > deadline:
                 break
+            world = args.world if mode == "crawl" else args.kernel_world
             cmd = [
                 sys.executable, os.path.join(REPO, "scripts", "crawl_worker.py"),
-                "--cpus", str(cpus), "--world", args.world,
-                "--rounds", str(args.rounds), "--warmup-world", args.warmup,
-                "--attempts", "2",
+                "--cpus", str(cpus), "--world", world,
+                "--rounds", str(args.rounds), "--mode", mode,
+                "--attempts", str(args.attempts),
             ]
+            if mode == "crawl":
+                cmd += ["--warmup-world", args.warmup]
             r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
             if r.returncode == 0:
                 line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
@@ -53,6 +66,8 @@ def main() -> None:
                 with open(args.out, "a") as f:
                     f.write(json.dumps(rec) + "\n")
                 print(rec, file=sys.stderr, flush=True)
+            else:
+                print("worker failed:", r.stderr[-300:], file=sys.stderr, flush=True)
         i += 1
 
 

@@ -132,3 +132,76 @@ def test_lift2_ap_replicate_optional_many():
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# --- examples/image-sizes port: host-effects (state + IO) under the scraper --
+
+
+def test_image_sizes_example_port():
+    """examples/image-sizes/Main.hs:36-47 ported end-to-end: chroots over
+    <img>, guard out empty/already-visited sources (the reference's
+    ``StateT [String]`` threaded state — here a closure-captured list,
+    the host-language analog of a user monad), then a real per-match
+    HTTP HEAD request (the reference's ``liftIO getImageMeta``) whose
+    Content-Length becomes ``Meta (Maybe Int)``; each request is
+    accumulated via ``tell`` so the effect log records the IO order."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import urljoin
+    from urllib.request import Request, urlopen
+
+    sizes = {"/img/a.png": 314, "/img/b.png": 2718}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_HEAD(self):
+            if self.path in sizes:
+                self.send_response(200)
+                self.send_header("Content-Length", str(sizes[self.path]))
+            else:
+                # 200 with no usable Content-Length -> Meta Nothing
+                self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    top_url = f"http://127.0.0.1:{srv.server_address[1]}/page"
+    try:
+        page = (
+            "<div><img src='/img/a.png'/><img src=''/>"
+            "<img src='/img/a.png'/><img src='/img/b.png'/>"
+            "<img src='/nolength'/></div>"
+        )
+
+        def get_image_meta(src):
+            req = Request(urljoin(top_url, src), method="HEAD")
+            with urlopen(req, timeout=5) as resp:
+                cl = resp.headers.get("Content-Length")
+            try:
+                return int(cl) if cl is not None and int(cl) > 0 else None
+            except ValueError:
+                return None
+
+        visited: list = []  # StateT [String] analog
+
+        def per_image(source):
+            # guard (not (null source) && not (source `elem` present))
+            if not source or source in visited:
+                return fail()
+            visited.append(source)  # modify (source :)
+            size = get_image_meta(source)  # liftIO getImageMeta
+            return tell(f"HEAD {source}").map(lambda _: (source, size))
+
+        scraper = chroots(tag("img"), attr("src", any_selector).bind(per_image))
+        value, errors, log = scrape_with_effects(page, scraper)
+        assert value == [
+            ("/img/a.png", 314),
+            ("/img/b.png", 2718),
+            ("/nolength", None),
+        ]
+        assert errors == []
+        assert log == ["HEAD /img/a.png", "HEAD /img/b.png", "HEAD /nolength"]
+    finally:
+        srv.shutdown()
