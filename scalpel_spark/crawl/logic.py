@@ -38,11 +38,11 @@ class PageExtract:
 
 
 def image_id_from_src(src: str) -> str | None:
-    """src convention: http://host/img/<image_id>.png"""
+    """src convention: http://host/img/<image_id>.<png|jpg>"""
     if "/img/" not in src:
         return None
     tail = src.rsplit("/", 1)[-1]
-    return tail[:-4] if tail.endswith(".png") else None
+    return tail[:-4] if tail.endswith((".png", ".jpg")) else None
 
 
 def extract_page(html: str, base_url: str) -> PageExtract:

@@ -55,6 +55,10 @@ class WorldParams:
     #: multiplies comment blocks per page — fattens html for
     #: compute-bound benchmarking
     page_weight: int = 1
+    #: fraction of images encoded as baseline JPEG (pure-numpy codec,
+    #: quality 100 ⇒ PSNR ≥ ~50 dB, inside the ≥40 dB lossy gate);
+    #: 0.0 (default) keeps historical worlds byte-identical
+    jpeg_fraction: float = 0.0
 
 
 def _host(h: int) -> str:
@@ -76,19 +80,52 @@ def image_pixels(i: int, seed: int = 42) -> np.ndarray:
 
 
 def is_lossy(i: int, params: WorldParams) -> bool:
+    """Rows whose stored bytes differ from ground truth (quantized PNG
+    or JPEG) — the PSNR≥40dB branch of the fidelity gate."""
+    return is_jpeg(i, params) or _is_quantized(i, params)
+
+
+def _is_quantized(i: int, params: WorldParams) -> bool:
     rng = np.random.default_rng(params.seed * 7_000_003 + i)
     return bool(rng.random() < params.lossy_fraction)
 
 
+def is_jpeg(i: int, params: WorldParams) -> bool:
+    if params.jpeg_fraction <= 0.0:
+        return False
+    rng = np.random.default_rng(params.seed * 11_000_027 + i)
+    return bool(rng.random() < params.jpeg_fraction)
+
+
+def image_ext(i: int, params: WorldParams) -> str:
+    return "jpg" if is_jpeg(i, params) else "png"
+
+
 def make_image_row(i: int, params: WorldParams):
     px = image_pixels(i, params.seed)
-    if is_lossy(i, params):
+    h, w = px.shape[0], px.shape[1]
+    if is_jpeg(i, params):
+        from .jpeg import decode_jpeg, encode_jpeg
+
+        # q=100 baseline JPEG: PSNR ≥ ~50 dB even on noise images.
+        # phash is computed from the DECODED pixels so the stored
+        # phash == recompute-from-bytes invariant stays exact.
+        blob = encode_jpeg(px, quality=100)
+        return {
+            "image_id": f"img-{i:08d}",
+            "bytes": blob,
+            "w": w,
+            "h": h,
+            "fmt": "jpeg",
+            "caption": image_caption(i),
+            "phash": mean_hash_64(decode_jpeg(blob)),
+        }
+    if _is_quantized(i, params):
         # 64-level quantization: max err 2 ⇒ PSNR ≈ 47 dB (≥ 40 dB gate)
         enc_px = ((px >> 2) << 2) + 2
     else:
         enc_px = px
     blob = encode_png(enc_px)
-    h, w = px.shape[0], px.shape[1]
     return {
         "image_id": f"img-{i:08d}",
         "bytes": blob,
@@ -178,7 +215,7 @@ def generate_world(params: WorldParams):
                 "<div class='comment container'>"
                 f"<span class='comment author'>{author}</span>"
                 f"<img alt='{cap}' class='comment image' "
-                f"src='http://{host}/img/{iid}.png' />"
+                f"src='http://{host}/img/{iid}.{image_ext(idx, params)}' />"
                 "</div>"
             )
         # a text comment and a malformed fragment for parser leniency

@@ -3,10 +3,11 @@
 
 The binary payload is opaque to Catalyst; every pixel-touching operator
 is an Arrow-batched ``mapInPandas`` whose *plumbing* (schema, carry
-columns, batch shape) is real and tested. PNG decode is real (pure
-numpy+zlib codec); codecs not present in this environment (jpeg, video
-frames, audio) are stubbed behind ``NotImplementedError`` with the same
-signatures, per the build contract.
+columns, batch shape) is real and tested. PNG decode (pure numpy+zlib)
+and baseline JPEG decode (pure-numpy SOF0, ``datagen/jpeg.py``) are
+real; codecs not present in this environment (video frames, audio,
+progressive/subsampled jpeg) are stubbed behind ``NotImplementedError``
+with the same signatures, per the build contract.
 
 Scale notes: feature rows are tiny (stats, hashes) — the shuffle after
 these operators never carries pixels. ``phash_neardup`` joins on 16-bit
@@ -26,9 +27,14 @@ from .datagen.images import decode_png, mean_hash_64
 
 
 def decode_image(blob: bytes, fmt: str) -> np.ndarray:
-    """bytes → (h, w, 3) uint8. Only 'png' decodable in this sandbox."""
+    """bytes → (h, w, 3) uint8. Native here: 'png' (numpy+zlib codec)
+    and baseline 'jpeg'/'jpg' (pure-numpy SOF0 codec)."""
     if fmt == "png":
         return decode_png(blob)
+    if fmt in ("jpeg", "jpg"):
+        from .datagen.jpeg import decode_jpeg
+
+        return decode_jpeg(blob)
     raise NotImplementedError(
         f"decode for fmt={fmt!r} requires an image library not present in "
         "this environment; plug a decoder in here (signature is stable)"

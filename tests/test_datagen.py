@@ -126,3 +126,84 @@ class TestWorld:
         ]
         assert t.num_rows == 6
         assert pq.read_table(str(tmp_path / "pages.parquet")).num_rows == 12
+
+
+class TestJpegCodec:
+    """Pure-numpy baseline JPEG: the non-PNG half of the image-format
+    contract. Encoder and decoder meet only at the wire format (the
+    decoder reads its tables from DQT/DHT), so a round-trip is a real
+    two-implementation check."""
+
+    def test_roundtrip_psnr(self):
+        from scalpel_spark.datagen.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(0)
+        cases = [
+            rng.integers(0, 256, (64, 64, 3), dtype=np.uint8),  # worst case: noise
+            rng.integers(0, 256, (33, 17, 3), dtype=np.uint8),  # non-multiple-of-8
+            np.full((8, 8, 3), 200, np.uint8),
+            rng.integers(0, 256, (3, 5, 3), dtype=np.uint8),  # sub-block
+        ]
+        for px in cases:
+            dec = decode_jpeg(encode_jpeg(px, quality=100))
+            assert dec.shape == px.shape and dec.dtype == np.uint8
+            assert psnr(dec, px) >= 40.0
+
+    def test_quality_monotone(self):
+        from scalpel_spark.datagen.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(3)
+        px = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+        sizes, errs = [], []
+        for q in (100, 90, 60):
+            blob = encode_jpeg(px, quality=q)
+            sizes.append(len(blob))
+            errs.append(psnr(decode_jpeg(blob), px))
+        assert sizes[0] > sizes[1] > sizes[2]  # lower q -> smaller file
+        assert errs[0] > errs[1] > errs[2]  # lower q -> lower psnr
+
+    def test_rejects_non_jpeg(self):
+        from scalpel_spark.datagen.jpeg import decode_jpeg
+
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
+
+
+class TestMixedFormatWorld:
+    def test_jpeg_rows_decode_and_keep_invariants(self):
+        """jpeg_fraction > 0: both formats present; every row decodes
+        via the dispatching decode_image; PSNR >= 40 dB vs ground-truth
+        pixels; the stored phash equals the recompute-from-bytes hash
+        (datagen computes jpeg phash from DECODED pixels); and the
+        <img src> extension round-trips through the shared
+        image_id_from_src used by engine + simulator."""
+        from scalpel_spark.crawl.logic import extract_page, image_id_from_src
+        from scalpel_spark.datagen.world import (
+            WorldParams,
+            generate_world,
+            image_pixels,
+            is_jpeg,
+        )
+        from scalpel_spark.imageops import decode_image
+
+        params = WorldParams(seed=11, n_hosts=4, n_pages=40, n_images=30,
+                             jpeg_fraction=0.5)
+        world = generate_world(params)
+        fmts = {r["fmt"] for r in world["images"]}
+        assert fmts == {"png", "jpeg"}
+        for r in world["images"]:
+            i = int(r["image_id"].split("-")[1])
+            px = decode_image(bytes(r["bytes"]), r["fmt"])
+            assert (r["fmt"] == "jpeg") == is_jpeg(i, params)
+            assert psnr(px, image_pixels(i, params.seed)) >= 40.0
+            assert mean_hash_64(px) == r["phash"]
+        # .jpg srcs flow through the shared extraction contract
+        jpg_srcs = [
+            (iid, src)
+            for p in world["pages"]
+            for iid, src, _cap in extract_page(p["html"], p["url"]).images
+            if src.endswith(".jpg")
+        ]
+        assert jpg_srcs and all(
+            image_id_from_src(src) == iid for iid, src in jpg_srcs
+        )
