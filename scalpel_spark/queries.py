@@ -1034,6 +1034,67 @@ def simhash_neardup_docs(spark, sf_dir):
 
 
 @q(
+    "ngram_jaccard_neardup_docs",
+    """
+    SELECT id_a, id_b, jacc_i4 FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(ROUND(10000.0 * len(list_intersect(a.gr, b.gr))
+                        / len(list_distinct(a.gr || b.gr))) AS BIGINT) AS jacc_i4
+      FROM (SELECT doc_id,
+                   list_distinct([substr(lower(text), i, 4)
+                                  FOR i IN range(1, greatest(length(text) - 3, 1) + 1)]) AS gr
+            FROM documents) a
+      JOIN (SELECT doc_id,
+                   list_distinct([substr(lower(text), i, 4)
+                                  FOR i IN range(1, greatest(length(text) - 3, 1) + 1)]) AS gr
+            FROM documents) b
+      ON a.doc_id < b.doc_id)
+    WHERE jacc_i4 >= 8000
+    """,
+)
+def ngram_jaccard_neardup_docs(spark, sf_dir):
+    """Char-4-gram jaccard near-dup (the third dedup family, robust to
+    word-boundary edits): char-minhash → LSH banding → EXACT char-gram
+    jaccard ≥ 0.8, cross-checked against DuckDB's brute-force n-gram
+    jaccard over the same construction. The engine's cost is
+    bucket-local; the oracle's O(N²) is the point of the comparison."""
+    from scalpel_spark.textops import ngram_jaccard_neardup
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_neardup(d, ngram_n=4, threshold=0.8)
+
+
+@q(
+    "vocab_topk_docs",
+    """
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM (
+      SELECT doc_id, unnest(list_distinct(list_filter(
+               regexp_split_to_array(lower(text), '\\W+'), x -> x <> ''))) AS token
+      FROM documents)
+    GROUP BY token ORDER BY doc_freq DESC, token LIMIT 25
+    """,
+)
+def vocab_topk_docs(spark, sf_dir):
+    """Corpus vocabulary head: top-25 tokens by DOCUMENT frequency
+    (distinct per doc, split on non-word runs). Shuffle carries
+    (token) post-distinct — classic map-side-combinable aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != F.lit(""))
+            )
+        ).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("token"))
+        .limit(25)
+    )
+
+
+@q(
     "ann_cosine_topk",
     """
     SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (

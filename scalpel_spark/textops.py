@@ -623,3 +623,95 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
             yield pd.DataFrame({id_col: pdf[id_col].tolist(), "fingerprint": fps})
 
     return spread(df.select(id_col, text_col)).mapInPandas(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# character n-gram jaccard near-dup (the third dedup family: robust to
+# word-boundary edits where word-shingles shift)
+
+
+def _char_ngram_lists(texts, n: int) -> list[list[str]]:
+    out = []
+    for t in texts:
+        t = (t or "").lower()
+        out.append([t[i : i + n] for i in range(len(t) - n + 1)] if len(t) > n else [t])
+    return out
+
+
+def char_minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 64,
+    ngram_n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig) minhash over character n-grams — same vectorized
+    min-reduction as ``minhash_signatures``, different feature space.
+    Gram slicing is a per-doc Python comprehension but all hashing is
+    one flat vectorized FNV pass per Arrow batch."""
+    seeds = np.arange(1, n_hashes + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            gram_lists = _char_ngram_lists(pdf[text_col], ngram_n)
+            counts = np.fromiter((len(g) for g in gram_lists), np.int64, len(gram_lists))
+            flat = _fnv1a_many([g for gs in gram_lists for g in gs])
+            sigs = []
+            for gh in np.split(flat, np.cumsum(counts)[:-1]) if len(gram_lists) else []:
+                gh = np.unique(gh)
+                m = _fmix64_np(gh[:, None] ^ seeds[None, :])
+                sigs.append(m.min(axis=0).astype(np.int64).tolist())
+            yield pd.DataFrame({id_col: ids, "sig": sigs})
+
+    return spread(df.select(id_col, text_col)).mapInPandas(gen, schema)
+
+
+def char_ngram_set_col(text_col, n: int = 4):
+    """JVM-side distinct char-n-gram array, construction-identical to
+    the DuckDB oracle (1-based substr over lowercased text; texts of
+    length ≤ n contribute themselves as the single gram)."""
+    t = F.lower(text_col)
+    upto = F.greatest(F.length(t) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), upto), lambda i: t.substr(i, F.lit(n)))
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_neardup(
+    df: DataFrame,
+    ngram_n: int = 4,
+    threshold: float = 0.8,
+    n_bands: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """char-n-gram minhash → LSH banding → EXACT char-n-gram jaccard
+    verification ≥ threshold: (id_a, id_b, jacc_i4). Candidate cost is
+    bucket-local; exact verification is semi-join-pruned to candidate
+    docs and runs entirely in codegen (array_intersect/array_distinct)."""
+    sigs = char_minhash_signatures(df, ngram_n=ngram_n, text_col=text_col, id_col=id_col)
+    pairs = lsh_candidate_pairs(sigs, n_bands=n_bands, id_col=id_col).persist()
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    needed = df.join(ids, id_col, "left_semi")
+    sh = needed.select(F.col(id_col), char_ngram_set_col(F.col(text_col), ngram_n).alias("gr"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("gr").alias("gr_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("gr").alias("gr_b"))
+    j = F.size(F.array_intersect("gr_a", "gr_b")) / F.size(
+        F.array_distinct(F.concat("gr_a", "gr_b"))
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(j * 10000).cast("long").alias("jacc_i4"))
+        .where(F.col("jacc_i4") >= int(round(threshold * 10000)))
+    )
