@@ -41,8 +41,10 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "minhash_neardup_docs",
     "simhash_neardup_docs",
+    "ngram_jaccard_neardup_docs",
     "ann_cosine_topk",
     "token_count_docs",
+    "vocab_topk_docs",
 ]
 
 
@@ -107,14 +109,20 @@ def main() -> None:
     from scalpel_spark import any_selector, attr, chroots, sdo
 
     scraper = chroots("img", sdo(attr("src", any_selector), attr("alt", any_selector)))
-    t0 = time.perf_counter()
-    n_rec = extract_records(
-        pages.repartition(CPUS * 2),
-        scraper,
-        "src string, alt string",
-        carry_cols=["url"],
-    ).count()
-    dt = time.perf_counter() - t0
+    # best-of-2, same as the query block: single-shot extraction numbers
+    # are a noise-epoch lottery on this host (and the first run also
+    # pays python-worker spin-up for the full worker pool)
+    dt = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_rec = extract_records(
+            pages.repartition(CPUS * 2),
+            scraper,
+            "src string, alt string",
+            carry_cols=["url"],
+        ).count()
+        d1 = time.perf_counter() - t0
+        dt = d1 if dt is None else min(dt, d1)
     timings["extract_images_world"] = round(dt, 3)
     extras["extract_pages_per_sec"] = round(n_pages / dt, 1)
     extras["extract_records"] = n_rec
@@ -133,9 +141,10 @@ def main() -> None:
             os.path.join(repo, "scripts", "crawl_worker.py"),
             "--cpus", str(crawl_cpus), "--world", WORLD_DIR, "--rounds", "6",
             "--warmup-world", WARMUP_DIR,
-            # best-of-3 in one JVM: this host's hypervisor steal makes a
-            # single run a 2-10x lottery (see BENCH/BASELINE.md method)
-            "--attempts", "3",
+            # best-of-4 in one JVM: this host's hypervisor steal makes a
+            # single run a 2-10x lottery (see BENCH/BASELINE.md method);
+            # four ~30s attempts give ≥1 quiet-epoch sample most days
+            "--attempts", "4",
         ],
         capture_output=True, text=True, cwd=repo,
     )

@@ -696,7 +696,20 @@ def ngram_jaccard_neardup(
     bucket-local; exact verification is semi-join-pruned to candidate
     docs and runs entirely in codegen (array_intersect/array_distinct)."""
     sigs = char_minhash_signatures(df, ngram_n=ngram_n, text_col=text_col, id_col=id_col)
-    pairs = lsh_candidate_pairs(sigs, n_bands=n_bands, id_col=id_col).persist()
+    raw = lsh_candidate_pairs(sigs, n_bands=n_bands, id_col=id_col)
+    # char-n-gram feature spaces have HIGH background jaccard (common
+    # English 4-grams put unrelated docs at j≈0.2-0.45), so banding
+    # alone admits a large candidate set. Screen candidates by the
+    # signature-estimated jaccard (64 int comparisons) at threshold−0.1
+    # (≈2σ of the 64-hash estimator below the cut) before touching the
+    # ~10³-element gram arrays: verify cost follows TRUE near-dups, not
+    # the background. Same probabilistic-recall contract as banding.
+    pairs = (
+        minhash_jaccard_pairs(sigs, raw, id_col=id_col)
+        .where(F.col("est_jaccard") >= threshold - 0.1)
+        .select("id_a", "id_b")
+        .persist()
+    )
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
