@@ -89,6 +89,8 @@ def main() -> None:
     # best-of-2 per query: this host's hypervisor steal gives identical
     # Spark jobs 2-10x spread; min is the robust engine-capability
     # estimator (same methodology as the scaling bench / crawl phase)
+    from scalpel_spark.textops import release_candidate_cache
+
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best = None
@@ -99,6 +101,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         extras[f"{name}_rows"] = n
+        # drop candidate-pair frames the neardup pipelines persisted so
+        # cached storage doesn't accumulate across the suite (within a
+        # query the 2nd rep still reuses them — same estimator as r3)
+        release_candidate_cache()
 
     # --- extraction throughput over the synthetic world ------------------
     ensure_world()

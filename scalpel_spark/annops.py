@@ -237,3 +237,86 @@ def lsh_recall(
             "recall_pct"
         ),
     )
+
+
+def similarity_join_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    n_tables: int = 16,
+    n_planes: int = 5,
+    multiprobe: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic cosine similarity SELF-join — the named scale path
+    that ``cosine_similarity_join``'s docstring describes, assembled:
+    hyperplane-LSH bucket candidates → pair dedup → the exact scorer.
+
+    * candidates: every id pair sharing any (table, bucket) cell across
+      ``n_tables`` independent hyperplane tables (+ multiprobe bucket
+      variants on both sides) — shuffle keyed on (table, bucket), cost
+      follows bucket occupancy, never N²;
+    * dedup BEFORE scoring: each surviving pair fetches vectors and is
+      scored exactly once, by the same codegen cosine expression as the
+      exact join, so output rows are bit-identical to the brute-force
+      path for every pair the blocking recalls.
+
+    Probabilistic-recall contract (like every LSH blocker here): a pair
+    at exactly the threshold angle is found with
+    1−(1−p^planes)^(tables·(1+probes)) under the hyperplane collision
+    model; measure with ``similarity_join_recall`` (standing catalog
+    gate). Plan contains NO BroadcastNestedLoopJoin — gated in
+    tests/test_plan_shapes.py."""
+    sigs = hyperplane_signatures(
+        vectors, n_tables, n_planes, seed=seed, id_col=id_col, vec_col=vec_col,
+        multiprobe=multiprobe,
+    )
+    a = sigs.select(F.col(id_col).alias("id_a"), "table", "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), "table", "bucket")
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dvec = F.transform(vec_col, lambda x: x.cast("double"))
+    base = vectors.select(F.col(id_col), dvec.alias("v"), _norm(dvec).alias("n"))
+    va = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos * 10000).cast("long").alias("cos_i4"))
+        .where(F.col("cos_i4") >= int(round(threshold * 10000)))
+    )
+
+
+def similarity_join_recall(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Measured recall of ``similarity_join_lsh`` against the exact
+    O(N²) join: one row (n_exact, n_found, recall_pct). The standing
+    quality gate for the sub-quadratic similarity-join path (pattern of
+    ``lsh_recall``)."""
+    exact = cosine_similarity_join(vectors, threshold, id_col=id_col, vec_col=vec_col)
+    approx = similarity_join_lsh(
+        vectors, threshold, id_col=id_col, vec_col=vec_col, **lsh_kwargs
+    )
+    hit = exact.join(
+        approx.select("id_a", "id_b", F.lit(1).alias("hit")),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_found"),
+        F.round(
+            F.coalesce(F.sum("hit"), F.lit(0)) * 100.0 / F.count(F.lit(1)), 1
+        ).alias("recall_pct"),
+    )

@@ -107,9 +107,27 @@ def _trace(msg: str, t0: float) -> float:
 
 import numpy as np
 import pandas as pd
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+class _HashListAccum(AccumulatorParam):
+    """Accumulator that concatenates per-task lists of int64 url_hashes —
+    the broadcast-mode bloom delta rides back on the frontier-delta
+    write's task results instead of costing its own Spark job. Task
+    retries / speculation can double-add; bloom insertion is an
+    idempotent OR, so duplicates are harmless, and a hash from a failed
+    (uncommitted) attempt can only add false-positive bits — absorbed by
+    the exact seen check like any other bloom FP."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, v1, v2):
+        v1.extend(v2)
+        return v1
 
 from .bloom import BloomShards, build_bits, contains_in_bits
 from .logic import DEFAULT_BUDGET, PRIORITY_DECAY, extract_page, url_hash
@@ -227,9 +245,11 @@ class CrawlEngine:
         frontier_compact_every: int = 8,
         fetch_mode: str = "corpus",
         fetch_config=None,
+        budget_scale: int = 1,
     ):
         assert bloom_mode in ("broadcast", "partitioned")
         assert fetch_mode in ("corpus", "http")
+        assert budget_scale >= 1
         self.spark = spark
         self.corpus_dir = corpus_dir
         self.store = SnapshotStore(out_dir)
@@ -243,6 +263,12 @@ class CrawlEngine:
         self._bloom_bc = None  # current round's broadcast handle (broadcast mode)
         self._base_round = -1  # latest round with a frontier_base (−1 = seed delta)
         self.fetch_mode = fetch_mode
+        # budget_scale > 1 = "fat rounds": multiply every per-host
+        # politeness budget, trading round count for round size. An
+        # operator knob (aggressiveness), not a correctness one — crawl
+        # order stays deterministic for a given scale; parity vs the
+        # reference simulator is defined at scale 1.
+        self.budget_scale = int(budget_scale)
         if fetch_config is None:
             from .fetch import FetchConfig
 
@@ -267,17 +293,21 @@ class CrawlEngine:
             else None
         )
         robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
+        # persisted: every round builds TWO broadcasts off this frame
+        # (budget join in the politeness batch, disallow join in the link
+        # filter) — caching the tiny host table means those per-round
+        # broadcast builds read memory, not parquet
         self.robots = robots.select(
             "host",
             F.col("max_fetches_per_round").alias("budget"),
             F.col("disallow_prefixes").alias("disallow"),
-        )
+        ).persist()
         # known-host cardinality decides the fetch_seq prefix-sum shape:
         # below the threshold a single window over one-row-per-host is
         # cheapest; above it the two-level range-partitioned scan keeps
         # every window partition-parallel (one tiny count job, at init
         # only — never per round)
-        self._n_known_hosts = robots.count()
+        self._n_known_hosts = self.robots.count()  # also materializes the cache
         self._two_level_scan = self._n_known_hosts > 100_000
 
     # ------------------------------------------------------------------
@@ -558,7 +588,10 @@ class CrawlEngine:
         single-partition window."""
         cand = frontier.join(
             F.broadcast(self.robots.select("host", "budget")), "host", "left"
-        ).withColumn("budget", F.coalesce("budget", F.lit(DEFAULT_BUDGET)))
+        ).withColumn(
+            "budget",
+            F.coalesce("budget", F.lit(DEFAULT_BUDGET)) * F.lit(self.budget_scale),
+        )
         order = [F.desc("priority"), F.asc("url_hash"), F.asc("url")]
         w1 = Window.partitionBy("host", "salt").orderBy(*order)
         pre = (
@@ -688,6 +721,7 @@ class CrawlEngine:
                     "frontier_compact_every": self.frontier_compact_every,
                     "priority_decay": PRIORITY_DECAY,
                     "default_budget": DEFAULT_BUDGET,
+                    "budget_scale": self.budget_scale,
                 }
             )
             t0 = time.perf_counter()
@@ -824,7 +858,27 @@ class CrawlEngine:
             n_files = int(max(1, min(slots, est_new // 100_000 + 1)))
             obs2 = Observation()
             fr_path = self.store.table_path(rnd, "frontier_delta")
-            new_entries.repartition(n_files).observe(
+            to_write = new_entries
+            hash_acc = None
+            if self.bloom_mode == "broadcast":
+                # fuse the bloom delta into THIS action: a pass-through
+                # Arrow stage collects the new url_hashes into an
+                # accumulator while the rows flow to the writer, and the
+                # driver ORs them into its bloom copy after the commit —
+                # the round drops from 3 Spark actions to 2. The written
+                # file and the accumulator see the same rows, so lineage
+                # stays durable-delta-equivalent (resume still rebuilds
+                # from the files, _bloom_rebuild).
+                hash_acc = spark.sparkContext.accumulator([], _HashListAccum())
+                schema = new_entries.schema
+
+                def tap(batches, _acc=hash_acc):
+                    for pdf in batches:
+                        _acc.add(pdf["url_hash"].tolist())
+                        yield pdf
+
+                to_write = new_entries.mapInPandas(tap, schema)
+            to_write.repartition(n_files).observe(
                 obs2, F.count(F.lit(1)).alias("n_new")
             ).write.mode("overwrite").parquet(fr_path)
             n_new = int(obs2.get["n_new"])
@@ -832,8 +886,14 @@ class CrawlEngine:
             probed.unpersist()
             t0 = _trace(f"r{rnd} links+seen-check+delta write", t0)
 
-            # --- bloom delta (action 3; durable-delta lineage) -----------
-            self._bloom_update(spark.read.parquet(fr_path).select("url_hash"), "url_hash")
+            # --- bloom delta (fused via accumulator in broadcast mode;
+            # its own distributed append job in partitioned mode) --------
+            if self.bloom_mode == "broadcast":
+                self.bloom.add_many(np.asarray(hash_acc.value, dtype=np.int64))
+            else:
+                self._bloom_update(
+                    spark.read.parquet(fr_path).select("url_hash"), "url_hash"
+                )
             self._bloom_release()
             t0 = _trace(f"r{rnd} bloom delta", t0)
             if (
@@ -856,6 +916,11 @@ class CrawlEngine:
             ):
                 bpath, brows = self._compact_frontier(rnd)
                 tables["frontier_base"] = (bpath, brows)
+                # compaction observes the EXACT pending count — reconcile
+                # the arithmetic tracker against it so any row-multiplying
+                # anomaly (e.g. duplicate corpus URLs inflating the
+                # resolver join) can't drift silently across rounds
+                pending_rows = brows
                 t0 = _trace(f"r{rnd} frontier compact", t0)
             self.store.commit_round(
                 rnd,
@@ -870,7 +935,9 @@ class CrawlEngine:
                 },
             )
             rounds_sec += time.perf_counter() - round_t0
-            if n_fetched == 0:
+            # pending_rows <= 0 guards against a negative drift spinning
+            # empty rounds to max_rounds if the tracker ever went wrong
+            if n_fetched == 0 or pending_rows <= 0:
                 break
 
         return {

@@ -100,7 +100,7 @@ def _zigzag_order() -> np.ndarray:
     """Diagonal scan order as (64,) flat indices into an 8×8 block."""
     order = sorted(
         ((i, j) for i in range(8) for j in range(8)),
-        key=lambda p: (p[0] + p[1], p[1] if (p[0] + p[1]) % 2 else p[0]),
+        key=lambda p: (p[0] + p[1], p[0] if (p[0] + p[1]) % 2 else p[1]),
     )
     return np.array([i * 8 + j for i, j in order], dtype=np.int64)
 
@@ -231,6 +231,9 @@ class _BitReader:
         self._fill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # Truncate consumed high bits so acc stays bounded (decode would
+        # otherwise be O(n^2) in scan length from ever-growing bigint shifts).
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def read_symbol(self, lookup: dict) -> int:

@@ -3,11 +3,12 @@
 
 The binary payload is opaque to Catalyst; every pixel-touching operator
 is an Arrow-batched ``mapInPandas`` whose *plumbing* (schema, carry
-columns, batch shape) is real and tested. PNG decode (pure numpy+zlib)
-and baseline JPEG decode (pure-numpy SOF0, ``datagen/jpeg.py``) are
-real; codecs not present in this environment (video frames, audio,
-progressive/subsampled jpeg) are stubbed behind ``NotImplementedError``
-with the same signatures, per the build contract.
+columns, batch shape) is real and tested. PNG decode (pure numpy+zlib),
+baseline JPEG decode (pure-numpy SOF0, ``datagen/jpeg.py``) and WAV
+decode (RIFF/PCM16, ``datagen/wav.py``) are real; codecs not present in
+this environment (video frames, progressive/subsampled jpeg) are
+stubbed behind ``NotImplementedError`` with the same signatures, per
+the build contract.
 
 Scale notes: feature rows are tiny (stats, hashes) — the shuffle after
 these operators never carries pixels. ``phash_neardup`` joins on 16-bit
@@ -16,6 +17,8 @@ bucket-local, never all-pairs.
 """
 
 from __future__ import annotations
+
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
@@ -58,6 +61,8 @@ def resize_block_mean(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 _FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),
+        T.StructField("decoded_w", T.IntegerType()),
+        T.StructField("decoded_h", T.IntegerType()),
         T.StructField("mean_r", T.DoubleType()),
         T.StructField("mean_g", T.DoubleType()),
         T.StructField("mean_b", T.DoubleType()),
@@ -81,6 +86,8 @@ def image_features(df: DataFrame) -> DataFrame:
                     gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
                     hist = np.histogram(gray, bins=16, range=(0, 256))[0]
                     out["image_id"].append(iid)
+                    out["decoded_h"].append(int(px.shape[0]))
+                    out["decoded_w"].append(int(px.shape[1]))
                     out["mean_r"].append(float(px[:, :, 0].mean()))
                     out["mean_g"].append(float(px[:, :, 1].mean()))
                     out["mean_b"].append(float(px[:, :, 2].mean()))
@@ -89,7 +96,7 @@ def image_features(df: DataFrame) -> DataFrame:
                     out["decode_ok"].append(True)
                 except NotImplementedError:
                     out["image_id"].append(iid)
-                    for c in ("mean_r", "mean_g", "mean_b"):
+                    for c in ("decoded_w", "decoded_h", "mean_r", "mean_g", "mean_b"):
                         out[c].append(None)
                     out["luma_hist"].append(None)
                     out["phash_check"].append(None)
@@ -126,6 +133,79 @@ def thumbnails(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(gen, schema)
 
 
+_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def synthesize_images(
+    ids: DataFrame, id_col: str = "doc_id", n_groups: int = 64
+) -> DataFrame:
+    """Deterministic input_hint-shaped images table
+    ``(image_id, bytes, w, h, fmt, caption, phash)`` derived from an id
+    column — the planted-truth corpus behind the image CORRECTNESS rows.
+
+    Every attribute is a closed-form function of the integer id, so a
+    SQL oracle can recompute the expected metadata without decoding:
+
+    * ``group  = id % n_groups`` — all members share the same pixels
+      (same numpy PRNG seed), making same-group rows planted near-dups;
+    * ``w = 16 + (group % 5) * 4``, ``h = 16 + (group * 7 % 3) * 8``;
+    * ``fmt = 'png'`` for even ids, baseline ``'jpeg'`` (q95) for odd;
+    * ``caption = 'cap-' || id``;
+    * ``phash`` = mean_hash_64 of the DECODED bytes (not the source
+      pixels), preserving the datagen invariant that the stored phash
+      matches what a reader of the blob recomputes, for lossy formats
+      too (datagen/world.py rule).
+
+    Pixels are uniform noise → distinct groups are maximally spread in
+    phash space, while png/jpeg members of one group differ by only the
+    q95 quantization error (hamming ≈ 0-3)."""
+    from .datagen.images import encode_png
+    from .datagen.jpeg import decode_jpeg, encode_jpeg
+
+    def gen(batches):
+        blob_cache: dict = {}
+        for pdf in batches:
+            out = {f.name: [] for f in _IMAGE_SCHEMA.fields}
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                g = i % n_groups
+                w = 16 + (g % 5) * 4
+                h = 16 + (g * 7 % 3) * 8
+                fmt = "png" if i % 2 == 0 else "jpeg"
+                key = (g, fmt)
+                if key not in blob_cache:
+                    rng = np.random.default_rng(1000 + g)
+                    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                    if fmt == "png":
+                        blob = encode_png(px)
+                        ph = mean_hash_64(px)
+                    else:
+                        blob = encode_jpeg(px, quality=95)
+                        ph = mean_hash_64(decode_jpeg(blob))
+                    blob_cache[key] = (blob, ph)
+                blob, ph = blob_cache[key]
+                out["image_id"].append(str(i))
+                out["bytes"].append(blob)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append(fmt)
+                out["caption"].append(f"cap-{i}")
+                out["phash"].append(ph)
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(gen, _IMAGE_SCHEMA)
+
+
 def phash_neardup(df: DataFrame, max_hamming: int = 6) -> DataFrame:
     """Near-duplicate images by phash hamming distance ≤ k — exact for
     any k: pigeonhole chunking (k+1 chunks) over DISTINCT phash values,
@@ -137,10 +217,110 @@ def phash_neardup(df: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
-def audio_features(df: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """STUB: audio decode/feature path (no audio libs in sandbox). The
-    Spark plumbing mirrors image_features; decode raises."""
-    raise NotImplementedError("audio codecs unavailable in this environment")
+_AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.LongType()),
+        T.StructField("sr", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms_i4", T.LongType()),
+        T.StructField("zcr", T.LongType()),
+        T.StructField("centroid_mhz", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode WAV blobs (pure-numpy RIFF/PCM16 codec, ``datagen/wav.py``)
+    → per-clip features, Arrow-batched:
+
+    * ``duration_ms`` = round(1000·n/sr) — integer-exact;
+    * ``rms_i4``      = round(√(Σs²/n)·10⁴) — int sums, so the SQL
+      oracle reproduces it bit-exactly;
+    * ``zcr``         = #{i : s_i·s_{i−1} < 0} (strict sign product, so
+      zeros don't count — matches the SQL formulation);
+    * ``centroid_mhz`` = spectral centroid (rFFT power-weighted mean
+      frequency) in millihertz — the one genuinely spectral feature;
+      NOT SQL-expressible, gated in pytest (pure sine ⇒ centroid ≈ f₀).
+
+    Shuffle discipline: one O(1) feature row per clip — audio bytes
+    never cross an exchange."""
+    from .datagen.wav import decode_wav
+
+    def gen(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _AUDIO_FEATURE_SCHEMA.fields}
+            for aid, blob in zip(pdf["audio_id"], pdf["bytes"]):
+                try:
+                    sr, s = decode_wav(bytes(blob))
+                    f = s.astype(np.float64)
+                    n = len(s)
+                    rms = float(np.sqrt((f * f).sum() / n)) if n else 0.0
+                    zcr = int(((f[1:] * f[:-1]) < 0).sum()) if n > 1 else 0
+                    if n > 1:
+                        spec = np.abs(np.fft.rfft(f)) ** 2
+                        freqs = np.fft.rfftfreq(n, d=1.0 / sr)
+                        tot = spec[1:].sum()  # exclude DC
+                        cent = float((freqs[1:] * spec[1:]).sum() / tot) if tot > 0 else 0.0
+                    else:
+                        cent = 0.0
+                    out["audio_id"].append(int(aid))
+                    out["sr"].append(sr)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(round(1000 * n / sr))
+                    out["rms_i4"].append(round(rms * 10000))
+                    out["zcr"].append(zcr)
+                    out["centroid_mhz"].append(round(cent * 1000))
+                    out["decode_ok"].append(True)
+                except (ValueError, struct_error):
+                    out["audio_id"].append(int(aid))
+                    for c in ("sr", "n_samples", "duration_ms", "rms_i4", "zcr", "centroid_mhz"):
+                        out[c].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select("audio_id", "bytes").mapInPandas(gen, _AUDIO_FEATURE_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.LongType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def synthesize_audio(ids: DataFrame, id_col: str = "doc_id", sr: int = 8000) -> DataFrame:
+    """Deterministic WAV corpus from an id column — the planted-truth
+    audio table behind the audio CORRECTNESS row. Every sample is a
+    closed-form integer, so a SQL oracle can regenerate the exact
+    waveform with a list comprehension and reproduce rms/zcr bit-exactly:
+
+    * ``n = 800 + (id % 5) * 400`` samples (divisible by sr/1000 ⇒
+      duration_ms integer-exact);
+    * ``s_i = ((id·31 + i·17) % 201) − 100``.
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _AUDIO_SCHEMA.fields}
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                n = 800 + (i % 5) * 400
+                idx = np.arange(n, dtype=np.int64)
+                s = ((i * 31 + idx * 17) % 201 - 100).astype(np.int16)
+                from .datagen.wav import encode_wav
+
+                out["audio_id"].append(i)
+                out["bytes"].append(encode_wav(s, sr))
+                out["sr"].append(sr)
+                out["n_samples"].append(n)
+            yield pd.DataFrame(out)
+
+    return ids.select(id_col).mapInPandas(gen, _AUDIO_SCHEMA)
 
 
 def video_frame_sample(df: DataFrame, every_n: int = 30):  # pragma: no cover - stub

@@ -1013,8 +1013,10 @@ def dedup_clusters_docs(spark, sf_dir):
         neardup_clusters,
     )
 
+    from scalpel_spark.textops import _persist_candidates
+
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    sigs = _persist_candidates(minhash_signatures(d))
     pairs = exact_jaccard_verify(lsh_candidate_pairs(sigs, n_bands=16), d, 0.5)
     return neardup_clusters(d, pairs)
 
@@ -1030,6 +1032,13 @@ def simhash_neardup_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     cand = simhash_neardup(d, max_hamming=12)
+    # est_screen measured OFF here: the chunk-pair blocking + inline
+    # hamming filter already reduce candidates to 260 pairs at sf0.1
+    # (256 survive exact verify), so the minhash screen's two extra
+    # stages cost more than the ~0 verify work they'd save. The screen
+    # (exact_jaccard_verify(est_screen=True)) pays off when candidate
+    # sets are large relative to true matches — see
+    # ngram_jaccard_neardup, where banding admits ~600k candidates.
     return exact_jaccard_verify(cand, d, threshold=0.5)
 
 
@@ -1214,4 +1223,272 @@ def embedding_norms(spark, sf_dir):
     )
     return e.select(
         "vec_id", "label", F.round(norm * 1000).cast("long").alias("norm_m")
+    )
+
+
+# ===========================================================================
+# multimodal (image) rows over the input_hint-shaped synthesized table
+# ===========================================================================
+
+
+@q(
+    "image_stats",
+    """
+    SELECT fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(*) AS BIGINT) AS n_decode_ok,
+           CAST(SUM(w) AS BIGINT) AS sum_w,
+           CAST(SUM(h) AS BIGINT) AS sum_h,
+           CAST(COUNT(*) AS BIGINT) AS n_phash_match,
+           CAST(COUNT(*) AS BIGINT) AS n_caption_ok
+    FROM (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+             16 + (doc_id % 64 % 5) * 4 AS w,
+             16 + (doc_id % 64 * 7 % 3) * 8 AS h
+      FROM documents)
+    GROUP BY fmt
+    """,
+)
+def image_stats(spark, sf_dir):
+    """End-to-end codec gate over the input_hint image table: synthesize
+    (imageops.synthesize_images — every attribute a closed form of
+    doc_id), DECODE every blob through the real pure-numpy PNG/JPEG
+    codecs (imageops.image_features), and aggregate per format. The
+    oracle recomputes the planted truth in SQL, so a green row proves:
+    both codecs decode 100% of their blobs, decoded dimensions equal the
+    planted w/h, the recomputed phash equals the stored phash (the
+    datagen lossy-format invariant), and captions survive the pipeline.
+    Scale shape: decode emits O(1) stats per image — the agg shuffle
+    never carries pixels."""
+    from scalpel_spark.imageops import image_features, synthesize_images
+
+    d = _t(spark, sf_dir, "documents")
+    imgs = synthesize_images(d)
+    feats = image_features(imgs)
+    joined = imgs.join(feats, "image_id")
+    return (
+        joined.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum(F.col("decode_ok").cast("long")).alias("n_decode_ok"),
+            F.sum(F.when(F.col("decoded_w") == F.col("w"), F.col("w"))).alias("sum_w"),
+            F.sum(F.when(F.col("decoded_h") == F.col("h"), F.col("h"))).alias("sum_h"),
+            F.sum((F.col("phash_check") == F.col("phash")).cast("long")).alias(
+                "n_phash_match"
+            ),
+            F.sum(
+                (F.col("caption") == F.concat(F.lit("cap-"), F.col("image_id"))).cast(
+                    "long"
+                )
+            ).alias("n_caption_ok"),
+        )
+    )
+
+
+@q(
+    "phash_neardup_images",
+    """
+    SELECT CAST(a.doc_id AS VARCHAR) AS id_a, CAST(b.doc_id AS VARCHAR) AS id_b
+    FROM documents a JOIN documents b
+      ON a.doc_id % 64 = b.doc_id % 64
+     AND CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+    """,
+)
+def phash_neardup_images(spark, sf_dir):
+    """Perceptual-hash near-dup over the synthesized image corpus:
+    decode every blob, recompute the 64-bit mean-hash from pixels, and
+    find all pairs within hamming ≤ 6 via the chunk-blocked exact
+    hamming join (textops.hamming_neardup_pairs — distinct-signature
+    blocking, never all-pairs). Planted truth: same-group images share
+    source pixels but were encoded through DIFFERENT codecs (png vs
+    baseline jpeg q95), so their recomputed hashes differ only by
+    quantization error (hamming 0-3); distinct groups are independent
+    noise (expected hamming ≈ 32). The SQL oracle emits exactly the
+    same-group pairs — deterministic for the fixed synthesis seeds."""
+    from scalpel_spark.imageops import image_features, phash_neardup, synthesize_images
+
+    d = _t(spark, sf_dir, "documents")
+    imgs = synthesize_images(d)
+    hashed = image_features(imgs).select(
+        "image_id", F.col("phash_check").alias("phash")
+    )
+    return phash_neardup(hashed, max_hamming=6).select("id_a", "id_b")
+
+
+@q(
+    "audio_stats",
+    """
+    SELECT audio_id, sr, n_samples, duration_ms,
+           CAST(ROUND(sqrt(list_sum([CAST(s*s AS BIGINT)
+                                     FOR s IN wave]) / CAST(n_samples AS DOUBLE))
+                      * 10000) AS BIGINT) AS rms_i4,
+           CAST(list_sum([CASE WHEN wave[i] * wave[i+1] < 0 THEN 1 ELSE 0 END
+                          FOR i IN range(1, len(wave))]) AS BIGINT) AS zcr
+    FROM (
+      SELECT doc_id AS audio_id, 8000 AS sr,
+             CAST(800 + (doc_id % 5) * 400 AS BIGINT) AS n_samples,
+             CAST((800 + (doc_id % 5) * 400) / 8 AS BIGINT) AS duration_ms,
+             [CAST((doc_id * 31 + i * 17) % 201 - 100 AS BIGINT)
+              FOR i IN range(0, CAST(800 + (doc_id % 5) * 400 AS BIGINT))] AS wave
+      FROM documents)
+    """,
+)
+def audio_stats(spark, sf_dir):
+    """Audio multimodal gate: synthesize closed-form PCM waveforms,
+    ENCODE them as real RIFF/WAVE blobs, then decode through the WAV
+    codec and extract integer-exact features (imageops.audio_features).
+    The oracle regenerates the exact waveform with a DuckDB list
+    comprehension and recomputes rms/zcr from first principles — a green
+    row proves the full bytes→samples→features path, wire format
+    included. (centroid_mhz, the FFT feature, is not SQL-expressible
+    and is gated in pytest instead.)"""
+    from scalpel_spark.imageops import audio_features, synthesize_audio
+
+    d = _t(spark, sf_dir, "documents")
+    return audio_features(synthesize_audio(d)).select(
+        "audio_id", "sr", "n_samples", "duration_ms", "rms_i4", "zcr"
+    )
+
+
+@q(
+    "embedding_similarity_join_lsh",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      FROM embeddings
+    )
+    SELECT id_a, id_b, cos_i4 FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(ROUND(list_sum([a.e[i] * b.e[i] FOR i IN range(1, 65)])
+                        / (a.n * b.n) * 10000) AS BIGINT) AS cos_i4
+      FROM v a, v b WHERE a.vec_id < b.vec_id)
+    WHERE cos_i4 >= 3500
+    """,
+)
+def embedding_similarity_join_lsh(spark, sf_dir):
+    """The sub-quadratic similarity join as a NAMED op (r3 VERDICT Next
+    #3): hyperplane-LSH buckets → pair-dedup → the exact cosine scorer
+    (annops.similarity_join_lsh). Same brute-force oracle as the exact
+    baseline — the blocking's measured recall is 100% on this corpus at
+    every sf (deterministic seeds), so the verified pair set must be
+    IDENTICAL to O(N²)'s while the plan contains no
+    BroadcastNestedLoopJoin (gated in tests/test_plan_shapes.py). The
+    standing recall gate is embedding_similarity_join_lsh_recall."""
+    from scalpel_spark.annops import similarity_join_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity_join_lsh(e, threshold=0.35)
+
+
+@q(
+    "embedding_similarity_join_lsh_recall",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+      FROM embeddings
+    ), p AS (
+      SELECT 1 FROM (
+        SELECT CAST(ROUND(list_sum([a.e[i] * b.e[i] FOR i IN range(1, 65)])
+                          / (a.n * b.n) * 10000) AS BIGINT) AS cos_i4
+        FROM v a, v b WHERE a.vec_id < b.vec_id)
+      WHERE cos_i4 >= 3500
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, true AS pass FROM p
+    """,
+)
+def embedding_similarity_join_lsh_recall(spark, sf_dir):
+    """Standing recall gate for the sub-quadratic similarity join
+    (pattern of ann_lsh_recall): the engine reports how many exact pairs
+    the LSH path recovered; the oracle independently brute-forces
+    n_exact, so the hash match pins BOTH the exact-join pair count AND
+    pass = recall ≥ 90% (measured 100% at sf0.001/0.01/0.1)."""
+    from scalpel_spark.annops import similarity_join_recall
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity_join_recall(e, threshold=0.35).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("recall_pct") >= 90.0).alias("pass"),
+    )
+
+
+@q(
+    "stream_window_counts_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_sum_c
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_counts_events(spark, sf_dir):
+    """Structured-Streaming oracle row (r3 VERDICT Next #7): replays the
+    events table through the REAL watermarked tumbling-window pipeline
+    (streaming/pipelines.stream_event_window_counts — file stream →
+    withWatermark → window agg → append-mode parquet sink) and returns
+    the sink's contents. Append mode only emits a window once the
+    watermark passes its end, so the replay feeds two micro-batches
+    (maxFilesPerTrigger=1): the real events, then one far-future
+    (+10h) sentinel row; with a 0-second watermark delay availableNow's
+    finalizing batch advances the watermark to the sentinel's ts and
+    flushes EVERY real window, while the sentinel's own (unfinalized)
+    window is correctly withheld — so the sink must equal the full batch
+    tumbling-window aggregate, which is exactly what the DuckDB oracle
+    computes. A green row pins streaming-vs-batch agreement INCLUDING
+    the append/watermark emission semantics, not just the arithmetic. Values are pre-rounded to integer cents before
+    the stream so the double sum is order-insensitive-exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from scalpel_spark.streaming.pipelines import stream_event_window_counts
+
+    tmp = tempfile.mkdtemp(prefix="stream_ev_row_")
+    inp = os.path.join(tmp, "in")
+    outp = os.path.join(tmp, "out")
+    chk = os.path.join(tmp, "chk")
+    os.makedirs(inp)
+
+    def _one_file(df, name):
+        d = os.path.join(tmp, "_" + name)
+        df.coalesce(1).write.parquet(d)
+        part = [f for f in os.listdir(d) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(d, part), os.path.join(inp, name + ".parquet"))
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type",
+        # integer cents as double: streaming SUM stays order-exact
+        _cents(F.col("value")).cast("double").alias("value"),
+    )
+    _one_file(ev, "batch0")
+    # sentinel: one far-future row whose only job is advancing the
+    # watermark past every real window end in the second micro-batch
+    sentinel = (
+        _t(spark, sf_dir, "events")
+        .agg(F.max("ts").alias("mx"))
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("mx") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("__sentinel__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+    )
+    _one_file(sentinel, "batch1")
+
+    q_stream = stream_event_window_counts(
+        spark, inp, outp, chk,
+        window="1 hour", watermark="0 seconds",
+        available_now=True, max_files_per_trigger=1,
+    )
+    q_stream.awaitTermination()
+    out = spark.read.parquet(outp)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("value_sum").cast("long").alias("value_sum_c"),
     )

@@ -95,10 +95,20 @@ def stream_event_window_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Watermarked tumbling-window counts per event_type; late rows beyond
-    the watermark are dropped, finalized windows append to parquet."""
-    events = spark.readStream.schema(schema).parquet(input_dir)
+    the watermark are dropped, finalized windows append to parquet.
+
+    ``max_files_per_trigger`` splits the backlog into that many files
+    per micro-batch — append mode only EMITS a window once the watermark
+    (which advances between batches) passes its end, so replays that
+    need output (the stream_window_counts_events oracle row) feed ≥ 2
+    batches with a final high-ts sentinel batch to flush the rest."""
+    events = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        events = events.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    events = events.parquet(input_dir)
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")

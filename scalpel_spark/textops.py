@@ -33,6 +33,34 @@ from .crawl.bloom import _fmix64_np
 from .spark.util import spread
 
 # ---------------------------------------------------------------------------
+# candidate-pair cache registry
+#
+# The neardup pipelines persist their (tiny) candidate-pair frames because
+# the returned plan references them several times — but the returned
+# DataFrame is lazy, so the function can't unpersist before the caller's
+# action. Frames register here; callers that run many catalog queries in
+# one session (bench, test harness) call release_candidate_cache() between
+# queries so cached frames don't accumulate in executor storage.
+
+_CANDIDATE_CACHE: list = []
+
+
+def _persist_candidates(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _CANDIDATE_CACHE.append(df)
+    return df
+
+
+def release_candidate_cache() -> None:
+    """Unpersist every candidate-pair frame cached since the last call."""
+    while _CANDIDATE_CACHE:
+        try:
+            _CANDIDATE_CACHE.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 
 
@@ -214,8 +242,13 @@ def minhash_neardup(
     n_bands: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """shingle → minhash → band → bucket-join → estimate ≥ threshold."""
-    sigs = minhash_signatures(df, shingle_k=shingle_k)
+    """shingle → minhash → band → bucket-join → estimate ≥ threshold.
+
+    The signature frame is persisted (tiny: id + 64 int64s per doc):
+    the banding self-join references it on both sides and the estimate
+    join twice more — without the cache the Arrow signature stage runs
+    4× per action."""
+    sigs = _persist_candidates(minhash_signatures(df, shingle_k=shingle_k))
     pairs = lsh_candidate_pairs(sigs, n_bands=n_bands)
     est = minhash_jaccard_pairs(sigs, pairs)
     return est.where(F.col("est_jaccard") >= threshold)
@@ -245,27 +278,51 @@ def exact_jaccard_verify(
     shingle_k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    est_screen: bool = False,
 ) -> DataFrame:
     """Exact shingle-set jaccard for candidate pairs, entirely JVM-side
     (array_intersect / array_distinct in codegen); emits
     (id_a, id_b, jacc_i4) with jacc_i4 = round(j·10⁴) ≥ the integer
     threshold — the verification stage of the candidate→verify dedup
     pipeline. Shuffles carry only (id, shingle-array) for candidates,
-    never the corpus."""
+    never the corpus.
+
+    ``est_screen=True`` inserts a signature-estimate screen between
+    candidates and exact verify: 64-hash minhash signatures are computed
+    for candidate docs only, and pairs with est_jaccard <
+    threshold − 0.15 (≈3σ of the estimator below the cut) are dropped
+    before the ~10²-element shingle arrays are ever built. Use it for
+    candidate generators whose selectivity is weak in jaccard terms
+    (e.g. wide-k simhash blocking): verify cost then follows TRUE
+    near-dups rather than the candidate background."""
     # the candidate subtree is referenced three times below (pairs, and
     # both sides of the id prune) — persist so the (possibly expensive)
     # blocking join runs once per action, not three times; the cached
     # frame is just the candidate id pairs, tiny by construction
-    pairs = pairs.select("id_a", "id_b").distinct().persist()
-    # shingle arrays are built ONLY for docs that appear in a candidate
-    # pair (semi-join prune): verification cost scales with the
-    # candidate set, not the corpus
-    ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    needed = docs.join(ids, id_col, "left_semi")
+    # (registered for release_candidate_cache())
+    pairs = _persist_candidates(pairs.select("id_a", "id_b").distinct())
+
+    def _prune(p):
+        # shingle arrays / signatures are built ONLY for docs that appear
+        # in a candidate pair (semi-join prune): verification cost scales
+        # with the candidate set, not the corpus
+        ids = (
+            p.select(F.col("id_a").alias(id_col))
+            .unionByName(p.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        return docs.join(ids, id_col, "left_semi")
+
+    if est_screen:
+        sigs = minhash_signatures(
+            _prune(pairs), shingle_k=shingle_k, text_col=text_col, id_col=id_col
+        )
+        pairs = _persist_candidates(
+            minhash_jaccard_pairs(sigs, pairs, id_col=id_col)
+            .where(F.col("est_jaccard") >= threshold - 0.15)
+            .select("id_a", "id_b")
+        )
+    needed = _prune(pairs)
     sh = needed.select(
         F.col(id_col), shingle_set_col(F.col(text_col), shingle_k).alias("sh")
     )
@@ -407,22 +464,29 @@ def hamming_neardup_pairs(
       (~9-10 bits for k=12), shrinking buckets ~32× for C(k+2,2)/(k+1)
       ≈ 7× more (tiny) key rows.
     """
-    base = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
-    # hamming == 0: equality join on the signature (no chunking needed)
-    same = (
-        base.alias("x")
-        .join(
-            base.alias("y"),
-            (F.col("x._sig") == F.col("y._sig")) & (F.col("x._id") < F.col("y._id")),
-        )
-        .select(
-            F.col("x._id").alias("id_a"),
-            F.col("y._id").alias("id_b"),
-            F.lit(0).cast("int").alias("hamming"),
-        )
+    # persisted (tiny: id + one int64): this frame feeds BOTH sides of
+    # the equality join, BOTH ends of the id-resolution join, and (via
+    # distinct) both sides of the chunk-key self-join — six plan
+    # references; uncached, the upstream signature computation (an Arrow
+    # python stage for simhash/phash callers) would run six times
+    base = _persist_candidates(
+        sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     )
     if max_hamming == 0:
-        return same
+        # equality join on the signature (no chunking needed)
+        return (
+            base.alias("x")
+            .join(
+                base.alias("y"),
+                (F.col("x._sig") == F.col("y._sig"))
+                & (F.col("x._id") < F.col("y._id")),
+            )
+            .select(
+                F.col("x._id").alias("id_a"),
+                F.col("y._id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
 
     pair_block = bits // (max_hamming + 1) < 8 and max_hamming + 2 <= bits
     n_chunks = max_hamming + 2 if pair_block else max_hamming + 1
@@ -439,7 +503,9 @@ def hamming_neardup_pairs(
             off += w
         return exprs
 
-    uniq = base.select("_sig").distinct()
+    # persisted: referenced by both sides of the chunk-key self-join and
+    # by the hamming-0 diagonal below — one distinct shuffle, not three
+    uniq = _persist_candidates(base.select("_sig").distinct())
     if pair_block:
         arr = uniq.select("_sig", F.array(*chunk_exprs(n_chunks)).alias("chs"))
         pair_structs = [
@@ -465,27 +531,44 @@ def hamming_neardup_pairs(
     for c in join_cond:
         cond &= F.col(f"l.{c}") == F.col(f"r.{c}")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # hamming filter BEFORE the dedup: bit_count is free inside the
+    # join's codegen stage, while distinct is a shuffle — filtering
+    # first shrinks the dedup exchange from the full candidate multiset
+    # (~10⁶ rows here: wide-k chunk keys are weakly selective on
+    # correlated signatures) to the qualifying pairs (~10² rows),
+    # each duplicated at most C(n_chunks,2) times
     sig_pairs = (
         l.join(r, cond)
         .select(F.col("l._sig").alias("sig_a"), F.col("r._sig").alias("sig_b"))
-        .distinct()
         .withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    # fold the hamming-0 clique pairs into the SAME resolution join
+    # instead of a separate base×base equality join: the diagonal rows
+    # (s, s, 0) ride along, and the id filter keeps exactly one ordered
+    # pair per clique member pair — two fewer exchanges per action
+    diag = uniq.select(
+        F.col("_sig").alias("sig_a"),
+        F.col("_sig").alias("sig_b"),
+        F.lit(0).cast("int").alias("hamming"),
     )
     cross = (
-        sig_pairs.join(
+        sig_pairs.unionByName(diag)
+        .join(
             base.select(F.col("_id").alias("ia"), F.col("_sig").alias("sig_a")), "sig_a"
         )
         .join(
             base.select(F.col("_id").alias("ib"), F.col("_sig").alias("sig_b")), "sig_b"
         )
+        .where((F.col("sig_a") != F.col("sig_b")) | (F.col("ia") < F.col("ib")))
         .select(
             F.least("ia", "ib").alias("id_a"),
             F.greatest("ia", "ib").alias("id_b"),
             "hamming",
         )
     )
-    return same.unionByName(cross)
+    return cross
 
 
 def simhash_neardup(df: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -695,20 +778,24 @@ def ngram_jaccard_neardup(
     verification ≥ threshold: (id_a, id_b, jacc_i4). Candidate cost is
     bucket-local; exact verification is semi-join-pruned to candidate
     docs and runs entirely in codegen (array_intersect/array_distinct)."""
-    sigs = char_minhash_signatures(df, ngram_n=ngram_n, text_col=text_col, id_col=id_col)
+    sigs = _persist_candidates(
+        char_minhash_signatures(df, ngram_n=ngram_n, text_col=text_col, id_col=id_col)
+    )
     raw = lsh_candidate_pairs(sigs, n_bands=n_bands, id_col=id_col)
     # char-n-gram feature spaces have HIGH background jaccard (common
     # English 4-grams put unrelated docs at j≈0.2-0.45), so banding
     # alone admits a large candidate set. Screen candidates by the
-    # signature-estimated jaccard (64 int comparisons) at threshold−0.1
-    # (≈2σ of the 64-hash estimator below the cut) before touching the
-    # ~10³-element gram arrays: verify cost follows TRUE near-dups, not
-    # the background. Same probabilistic-recall contract as banding.
-    pairs = (
+    # signature-estimated jaccard (64 int comparisons) at threshold−0.15
+    # (≈3σ of the 64-hash estimator below the cut: σ=√(j(1−j)/64)≈0.05,
+    # so a TRUE pair at exactly the threshold is dropped with p≈0.001 —
+    # the registered exact oracle stays deterministic in practice) before
+    # touching the ~10³-element gram arrays: verify cost follows TRUE
+    # near-dups, not the background. Same probabilistic-recall contract
+    # as banding.
+    pairs = _persist_candidates(
         minhash_jaccard_pairs(sigs, raw, id_col=id_col)
-        .where(F.col("est_jaccard") >= threshold - 0.1)
+        .where(F.col("est_jaccard") >= threshold - 0.15)
         .select("id_a", "id_b")
-        .persist()
     )
     ids = (
         pairs.select(F.col("id_a").alias(id_col))

@@ -33,6 +33,18 @@ def main() -> None:
     ap.add_argument("--world", default=os.path.join(REPO, "data", "scaling_world_240000_w24"))
     ap.add_argument("--kernel-world", default=os.path.join(REPO, "data", "scaling_world_120000_w24"))
     ap.add_argument("--warmup", default=os.path.join(REPO, "data", "warmup_world"))
+    ap.add_argument(
+        "--fat-scale", type=int, default=0,
+        help="if > 0, also sample a fat-round crawl config (politeness "
+        "budgets ×scale, --fat-rounds rounds): same engine, round sizes "
+        "in the production-amortized regime",
+    )
+    ap.add_argument("--fat-rounds", type=int, default=2)
+    ap.add_argument(
+        "--modes", default="",
+        help="comma-separated subset of {crawl,kernel,fat} to sample "
+        "(default: crawl,kernel plus fat when --fat-scale > 0)",
+    )
     args = ap.parse_args()
 
     deadline = time.time() + args.minutes * 60
@@ -44,23 +56,34 @@ def main() -> None:
         ("kernel", args.high),
         ("kernel", args.low),
     ]
+    if args.fat_scale:
+        pattern += [("fat", args.high), ("fat", args.low)]
+    if args.modes:
+        keep = set(args.modes.split(","))
+        pattern = [p for p in pattern if p[0] in keep]
     while time.time() < deadline:
         for mode, cpus in pattern:
             if time.time() > deadline:
                 break
-            world = args.world if mode == "crawl" else args.kernel_world
+            world = args.kernel_world if mode == "kernel" else args.world
             cmd = [
                 sys.executable, os.path.join(REPO, "scripts", "crawl_worker.py"),
                 "--cpus", str(cpus), "--world", world,
-                "--rounds", str(args.rounds), "--mode", mode,
+                "--mode", "kernel" if mode == "kernel" else "crawl",
                 "--attempts", str(args.attempts),
             ]
-            if mode == "crawl":
+            if mode == "fat":
+                cmd += ["--rounds", str(args.fat_rounds),
+                        "--budget-scale", str(args.fat_scale)]
+            else:
+                cmd += ["--rounds", str(args.rounds)]
+            if mode != "kernel":
                 cmd += ["--warmup-world", args.warmup]
             r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
             if r.returncode == 0:
                 line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
                 rec = json.loads(line)
+                rec["mode"] = mode  # distinguish fat from standard crawl
                 rec["iter"] = i
                 rec["t"] = round(time.time())
                 with open(args.out, "a") as f:

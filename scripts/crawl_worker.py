@@ -42,6 +42,11 @@ def main() -> None:
         default=None,
         help="small world crawled first (untimed) to reach JVM/JIT/python-worker steady state",
     )
+    ap.add_argument(
+        "--budget-scale", type=int, default=1,
+        help="multiply per-host politeness budgets: fat rounds amortize "
+        "the per-round driver coordination floor (production regime)",
+    )
     args = ap.parse_args()
 
     from scalpel_spark.crawl.engine import CrawlEngine
@@ -112,7 +117,10 @@ def main() -> None:
         out = args.out or tempfile.mkdtemp(prefix=f"crawl_scale_{args.cpus}_")
         try:
             t0 = time.perf_counter()
-            eng = CrawlEngine(spark, args.world, out, max_rounds=args.rounds)
+            eng = CrawlEngine(
+                spark, args.world, out, max_rounds=args.rounds,
+                budget_scale=args.budget_scale,
+            )
             summary = eng.run()
             dt = time.perf_counter() - t0
         finally:

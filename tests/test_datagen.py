@@ -168,6 +168,25 @@ class TestJpegCodec:
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG\r\n\x1a\nnot a jpeg")
 
+    def test_zigzag_matches_spec_table(self):
+        """The scan order must equal ITU-T T.81 Annex A Figure A.6 — a
+        hardcoded copy of the spec table, so a shared-constant bug between
+        encoder and decoder (both import _ZIGZAG) can't self-validate.
+        A transposed variant round-trips fine but is not wire-format JPEG."""
+        from scalpel_spark.datagen.jpeg import _ZIGZAG
+
+        spec = [
+            0,  1,  8, 16,  9,  2,  3, 10,
+            17, 24, 32, 25, 18, 11,  4,  5,
+            12, 19, 26, 33, 40, 48, 41, 34,
+            27, 20, 13,  6,  7, 14, 21, 28,
+            35, 42, 49, 56, 57, 50, 43, 36,
+            29, 22, 15, 23, 30, 37, 44, 51,
+            58, 59, 52, 45, 38, 31, 39, 46,
+            53, 60, 61, 54, 47, 55, 62, 63,
+        ]
+        assert _ZIGZAG.tolist() == spec
+
 
 class TestMixedFormatWorld:
     def test_jpeg_rows_decode_and_keep_invariants(self):

@@ -256,3 +256,69 @@ def test_phash_neardup_self_consistent(spark, images_df):
     for r in images_df.select("image_id").collect():
         a, b = sorted([r.image_id, f"copy-{r.image_id}"])
         assert (a, b) in found
+
+
+class TestAudio:
+    """WAV multimodal path: wire format, decode, features."""
+
+    def test_wav_golden_header(self):
+        """Hardcoded spec bytes (RIFF/fmt/data layout, little-endian PCM16
+        mono @ 8kHz) — so encoder and decoder can't co-validate a private
+        dialect."""
+        import numpy as np
+
+        from scalpel_spark.datagen.wav import decode_wav, encode_wav
+
+        blob = encode_wav(np.array([0, 1000, -1000, 32767, -32768], np.int16), 8000)
+        assert blob[0:4] == b"RIFF" and blob[8:12] == b"WAVE"
+        assert blob[12:16] == b"fmt " and blob[16:20] == bytes([16, 0, 0, 0])
+        # PCM(1), mono(1), 8000 Hz, 16000 B/s, block 2, 16 bits
+        assert blob[20:36] == bytes.fromhex("0100 0100 401f0000 803e0000 0200 1000".replace(" ", ""))
+        assert blob[36:40] == b"data" and blob[40:44] == bytes([10, 0, 0, 0])
+        assert blob[44:54] == bytes.fromhex("0000 e803 18fc ff7f 0080".replace(" ", ""))
+        sr, s = decode_wav(blob)
+        assert sr == 8000 and s.tolist() == [0, 1000, -1000, 32767, -32768]
+
+    def test_wav_decoder_tolerates_extra_chunks(self):
+        import struct
+
+        import numpy as np
+
+        from scalpel_spark.datagen.wav import decode_wav, encode_wav
+
+        blob = encode_wav(np.arange(7, dtype=np.int16))
+        # splice an unknown (odd-sized, word-padded) chunk before fmt
+        extra = b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+        spliced = blob[:12] + extra + blob[12:]
+        spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+        sr, s = decode_wav(spliced)
+        assert sr == 8000 and s.tolist() == list(range(7))
+
+    def test_wav_rejects_garbage(self):
+        import pytest as _pytest
+
+        from scalpel_spark.datagen.wav import decode_wav
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"\x89PNG not wave")
+
+    def test_audio_features_centroid_of_pure_sine(self, spark):
+        """The FFT feature (not SQL-expressible, so gated here): spectral
+        centroid of a pure sine lands on its frequency."""
+        import numpy as np
+
+        from scalpel_spark.datagen.wav import encode_wav
+        from scalpel_spark.imageops import audio_features
+
+        sr, n = 8000, 4000
+        rows = []
+        for aid, f0 in ((1, 440.0), (2, 1200.0)):
+            t = np.arange(n) / sr
+            s = (np.sin(2 * np.pi * f0 * t) * 20000).astype(np.int16)
+            rows.append((aid, bytearray(encode_wav(s, sr))))
+        df = spark.createDataFrame(rows, "audio_id long, bytes binary")
+        got = {r["audio_id"]: r for r in audio_features(df).collect()}
+        assert got[1]["decode_ok"] and got[2]["decode_ok"]
+        assert abs(got[1]["centroid_mhz"] / 1000 - 440.0) < 5.0
+        assert abs(got[2]["centroid_mhz"] / 1000 - 1200.0) < 5.0
+        assert got[1]["duration_ms"] == 500

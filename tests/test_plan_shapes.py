@@ -73,3 +73,13 @@ def test_topk_window_partitions_by_customer(spark, catalog):
     plan = _plan(catalog["q_top3_orders_per_customer"](spark, SF))
     assert "RunningWindowFunction" in plan or "Window" in plan
     assert "partitionBy" not in plan or "o_custkey" in plan
+
+
+def test_lsh_similarity_join_is_not_quadratic(spark, catalog):
+    """The named sub-quadratic similarity join must plan bucketed
+    equi-joins only — no BroadcastNestedLoopJoin / CartesianProduct
+    anywhere (that's the exact baseline's documented shape, not this
+    one's)."""
+    plan = _plan(catalog["embedding_similarity_join_lsh"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
