@@ -43,8 +43,11 @@ BENCH_QUERIES = [
     "simhash_neardup_docs",
     "ngram_jaccard_neardup_docs",
     "ann_cosine_topk",
+    "embedding_similarity_join_lsh",
     "token_count_docs",
     "vocab_topk_docs",
+    "image_stats",
+    "audio_stats",
 ]
 
 

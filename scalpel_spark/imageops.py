@@ -171,6 +171,7 @@ def synthesize_images(
     q95 quantization error (hamming ≈ 0-3)."""
     from .datagen.images import encode_png
     from .datagen.jpeg import decode_jpeg, encode_jpeg
+    from .spark.util import spread
 
     def gen(batches):
         blob_cache: dict = {}
@@ -203,7 +204,10 @@ def synthesize_images(
                 out["phash"].append(ph)
             yield pd.DataFrame(out)
 
-    return ids.select(id_col).mapInPandas(gen, _IMAGE_SCHEMA)
+    # spread: the encode stage (and everything downstream of it — the
+    # decoders in image_features inherit this partitioning) is Python
+    # work; without it a 1-file id scan serializes on one core
+    return spread(ids.select(id_col)).mapInPandas(gen, _IMAGE_SCHEMA)
 
 
 def phash_neardup(df: DataFrame, max_hamming: int = 6) -> DataFrame:
@@ -320,7 +324,11 @@ def synthesize_audio(ids: DataFrame, id_col: str = "doc_id", sr: int = 8000) -> 
                 out["n_samples"].append(n)
             yield pd.DataFrame(out)
 
-    return ids.select(id_col).mapInPandas(gen, _AUDIO_SCHEMA)
+    from .spark.util import spread
+
+    # spread for the same reason as synthesize_images: the encode stage
+    # and the downstream decode/FFT stage are Python work
+    return spread(ids.select(id_col)).mapInPandas(gen, _AUDIO_SCHEMA)
 
 
 def video_frame_sample(df: DataFrame, every_n: int = 30):  # pragma: no cover - stub

@@ -36,10 +36,16 @@ def main() -> None:
     ap.add_argument(
         "--fat-scale", type=int, default=0,
         help="if > 0, also sample a fat-round crawl config (politeness "
-        "budgets ×scale, --fat-rounds rounds): same engine, round sizes "
-        "in the production-amortized regime",
+        "budgets ×scale over --fat-world, --fat-rounds rounds): same "
+        "engine, round sizes in the production-amortized regime. When "
+        "budgets are non-binding (discovery-limited worlds) the fat "
+        "world's higher seed_fraction is what fattens round 1.",
     )
     ap.add_argument("--fat-rounds", type=int, default=2)
+    ap.add_argument(
+        "--fat-world",
+        default=os.path.join(REPO, "data", "scaling_world_240000_w24_fat"),
+    )
     ap.add_argument(
         "--modes", default="",
         help="comma-separated subset of {crawl,kernel,fat} to sample "
@@ -65,7 +71,9 @@ def main() -> None:
         for mode, cpus in pattern:
             if time.time() > deadline:
                 break
-            world = args.kernel_world if mode == "kernel" else args.world
+            world = {"kernel": args.kernel_world, "fat": args.fat_world}.get(
+                mode, args.world
+            )
             cmd = [
                 sys.executable, os.path.join(REPO, "scripts", "crawl_worker.py"),
                 "--cpus", str(cpus), "--world", world,

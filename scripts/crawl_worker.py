@@ -43,6 +43,11 @@ def main() -> None:
         help="small world crawled first (untimed) to reach JVM/JIT/python-worker steady state",
     )
     ap.add_argument(
+        "--bloom-mode", choices=["broadcast", "partitioned"], default="broadcast",
+        help="URL-seen bloom layout: broadcast (driver-resident shards) "
+        "or partitioned (on-disk bloom table, the 10^10-URL path)",
+    )
+    ap.add_argument(
         "--budget-scale", type=int, default=1,
         help="multiply per-host politeness budgets: fat rounds amortize "
         "the per-round driver coordination floor (production regime)",
@@ -119,7 +124,7 @@ def main() -> None:
             t0 = time.perf_counter()
             eng = CrawlEngine(
                 spark, args.world, out, max_rounds=args.rounds,
-                budget_scale=args.budget_scale,
+                budget_scale=args.budget_scale, bloom_mode=args.bloom_mode,
             )
             summary = eng.run()
             dt = time.perf_counter() - t0
