@@ -236,14 +236,43 @@ class _BitReader:
         self.acc &= (1 << self.nbits) - 1
         return v
 
-    def read_symbol(self, lookup: dict) -> int:
-        code = 0
-        for length in range(1, 17):
+    def read_symbol(self, lut) -> int:
+        """lut = (fast8, slow): fast8 resolves all codes ≤ 8 bits from a
+        single 8-bit peek (one table hit instead of up to 8 bit-reads +
+        dict probes — the decoder hot path); longer codes continue the
+        canonical walk from those 8 bits."""
+        fast8, slow = lut
+        self._fill()
+        peek = (self.acc >> (self.nbits - 8)) & 0xFF
+        ent = fast8[peek]
+        if ent is not None:
+            sym, ln = ent
+            self.nbits -= ln
+            self.acc &= (1 << self.nbits) - 1
+            return sym
+        self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+        code = peek
+        for length in range(9, 17):
             code = (code << 1) | self.get(1)
-            sym = lookup.get((length, code))
+            sym = slow.get((length, code))
             if sym is not None:
                 return sym
         raise ValueError("bad huffman code")
+
+
+def _decode_lut(codes: dict):
+    """{symbol: (code, len)} → (fast8, slow) for _BitReader.read_symbol."""
+    fast8 = [None] * 256
+    slow = {}
+    for sym, (code, ln) in codes.items():
+        if ln <= 8:
+            base = code << (8 - ln)
+            for suffix in range(1 << (8 - ln)):
+                fast8[base | suffix] = (sym, ln)
+        else:
+            slow[(ln, code)] = sym
+    return fast8, slow
 
 
 def _magnitude(v: int):
@@ -404,8 +433,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(payload[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(payload[p + 17 : p + 17 + n])
-                codes = _huff_codes(bits, vals)
-                htables[tcth] = {(ln, code): sym for sym, (code, ln) in codes.items()}
+                htables[tcth] = _decode_lut(_huff_codes(bits, vals))
                 p += 17 + n
         elif marker == 0xFFDD:
             raise ValueError("restart intervals unsupported")

@@ -73,13 +73,24 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def image_features(df: DataFrame) -> DataFrame:
+def image_features(df: DataFrame, carry_cols: tuple = ()) -> DataFrame:
     """Decode → per-image stats + recomputed phash (integrity check
-    against the stored ``phash`` column)."""
+    against the stored ``phash`` column).
+
+    ``carry_cols`` pass input columns through the Arrow stage unchanged
+    (same pattern as extract_records): callers that need features NEXT
+    TO source metadata (image_stats) get one decode pass instead of a
+    join whose other branch re-runs the upstream pipeline."""
+    schema = T.StructType(
+        list(_FEATURE_SCHEMA.fields)
+        + [T.StructField(c, df.schema[c].dataType) for c in carry_cols]
+    )
 
     def gen(batches):
         for pdf in batches:
             out = {f.name: [] for f in _FEATURE_SCHEMA.fields}
+            for c in carry_cols:
+                out[c] = pdf[c].tolist()
             for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
                 try:
                     px = decode_image(bytes(blob), fmt)
@@ -103,7 +114,10 @@ def image_features(df: DataFrame) -> DataFrame:
                     out["decode_ok"].append(False)
             yield pd.DataFrame(out)
 
-    return df.select("image_id", "bytes", "fmt").mapInPandas(gen, _FEATURE_SCHEMA)
+    in_cols = ["image_id", "bytes", "fmt"] + [
+        c for c in carry_cols if c not in ("image_id", "bytes", "fmt")
+    ]
+    return df.select(*in_cols).mapInPandas(gen, schema)
 
 
 def thumbnails(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
@@ -171,7 +185,6 @@ def synthesize_images(
     q95 quantization error (hamming ≈ 0-3)."""
     from .datagen.images import encode_png
     from .datagen.jpeg import decode_jpeg, encode_jpeg
-    from .spark.util import spread
 
     def gen(batches):
         blob_cache: dict = {}
@@ -204,10 +217,15 @@ def synthesize_images(
                 out["phash"].append(ph)
             yield pd.DataFrame(out)
 
-    # spread: the encode stage (and everything downstream of it — the
-    # decoders in image_features inherit this partitioning) is Python
-    # work; without it a 1-file id scan serializes on one core
-    return spread(ids.select(id_col)).mapInPandas(gen, _IMAGE_SCHEMA)
+    # partition BY GROUP, not round-robin: members of one group share
+    # their (deterministically re-generated) blob, so co-locating a
+    # group makes the per-task blob cache hit ~100% — round-robin spread
+    # would re-encode every group in every task (~40× the encode work)
+    return (
+        ids.select(id_col)
+        .repartition(n_groups, F.col(id_col) % n_groups)
+        .mapInPandas(gen, _IMAGE_SCHEMA)
+    )
 
 
 def phash_neardup(df: DataFrame, max_hamming: int = 6) -> DataFrame:

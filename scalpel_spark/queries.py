@@ -1264,8 +1264,9 @@ def image_stats(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     imgs = synthesize_images(d)
-    feats = image_features(imgs)
-    joined = imgs.join(feats, "image_id")
+    # carry the planted metadata THROUGH the decode stage: one synth +
+    # one decode pass, no join whose other branch re-encodes the corpus
+    joined = image_features(imgs, carry_cols=("fmt", "w", "h", "caption", "phash"))
     return (
         joined.groupBy("fmt")
         .agg(
