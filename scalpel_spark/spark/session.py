@@ -26,11 +26,15 @@ def get_spark(
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
         shuffle_partitions = os.cpu_count() or 8 if n == "*" else int(n)
+    # AQE stays ON by default (runtime skew-join mitigation is part of
+    # the 100 TB story); SPARK_GRAFT_AQE=0 exists to measure its
+    # per-stage replanning latency on many-small-stage pipelines
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
     b = (
         SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # let AQE re-coalesce shuffles UNDER cached plans too — the crawl
         # engine persists mid-round frames (probe output, resolver batch)

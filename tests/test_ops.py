@@ -322,3 +322,33 @@ class TestAudio:
         assert abs(got[1]["centroid_mhz"] / 1000 - 440.0) < 5.0
         assert abs(got[2]["centroid_mhz"] / 1000 - 1200.0) < 5.0
         assert got[1]["duration_ms"] == 500
+
+
+def test_exact_jaccard_verify_est_screen_same_pairs(spark, docs_with_dups):
+    """est_screen=True must return the same verified pair set (the
+    screen only drops pairs ~3 sigma below the threshold, which exact
+    verification would reject anyway) — the option trades stages for
+    verify volume, never answers."""
+    from pyspark.sql import functions as F
+
+    from scalpel_spark.textops import (
+        exact_jaccard_verify,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        release_candidate_cache,
+    )
+
+    sigs = minhash_signatures(docs_with_dups)
+    cand = lsh_candidate_pairs(sigs, n_bands=16)
+    plain = {
+        (r["id_a"], r["id_b"], r["jacc_i4"])
+        for r in exact_jaccard_verify(cand, docs_with_dups, 0.5).collect()
+    }
+    screened = {
+        (r["id_a"], r["id_b"], r["jacc_i4"])
+        for r in exact_jaccard_verify(
+            cand, docs_with_dups, 0.5, est_screen=True
+        ).collect()
+    }
+    release_candidate_cache()
+    assert plain and screened == plain
