@@ -285,7 +285,7 @@ def similarity_join_lsh(
     recall at threshold 0.35 on the test corpus at every sf. Plan
     contains NO BroadcastNestedLoopJoin — gated in
     tests/test_plan_shapes.py."""
-    from .textops import _persist_candidates
+    from .spark.util import persist_candidates as _persist_candidates
 
     # persisted (tiny: id + table + bucket + flag): referenced by both
     # sides of the candidate join — one signature computation per action

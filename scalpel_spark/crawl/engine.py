@@ -113,23 +113,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-class _HashListAccum(AccumulatorParam):
-    """Accumulator that concatenates per-task lists of int64 url_hashes —
-    the broadcast-mode bloom delta rides back on the frontier-delta
-    write's task results instead of costing its own Spark job. Task
-    retries / speculation can double-add; bloom insertion is an
-    idempotent OR, so duplicates are harmless, and a hash from a failed
-    (uncommitted) attempt can only add false-positive bits — absorbed by
-    the exact seen check like any other bloom FP."""
+class _BloomBitsAccum(AccumulatorParam):
+    """Accumulator that ORs sparse ``{shard: bitset-bytes}`` dicts — the
+    broadcast-mode bloom delta rides back on the frontier-delta write's
+    task results instead of costing its own Spark job, and the payload
+    per task is bounded by touched-shards × (m/8) bytes REGARDLESS of
+    how many new URLs the round adds ("bytes moved = shard bytes, never
+    keys", preserved from the pre-fusion dedicated collect). Task
+    retries / speculation can double-add; the OR is idempotent, and
+    bits from a failed (uncommitted) attempt are false-positive-only —
+    absorbed by the exact seen check like any other bloom FP."""
 
     def zero(self, value):
-        return []
+        return {}
 
     def addInPlace(self, v1, v2):
-        v1.extend(v2)
+        for s, bits in v2.items():
+            if s in v1:
+                v1[s] = (
+                    np.frombuffer(v1[s], dtype=np.uint8)
+                    | np.frombuffer(bits, dtype=np.uint8)
+                ).tobytes()
+            else:
+                v1[s] = bits
         return v1
 
-from .bloom import BloomShards, build_bits, contains_in_bits
+from .bloom import BloomShards, build_bits, contains_in_bits, shard_of
 from .logic import DEFAULT_BUDGET, PRIORITY_DECAY, extract_page, url_hash
 from .tableio import SnapshotStore
 from .urlnorm import canonicalize_url, url_host
@@ -858,27 +867,38 @@ class CrawlEngine:
             n_files = int(max(1, min(slots, est_new // 100_000 + 1)))
             obs2 = Observation()
             fr_path = self.store.table_path(rnd, "frontier_delta")
-            to_write = new_entries
-            hash_acc = None
+            to_write = new_entries.repartition(n_files)
+            bits_acc = None
             if self.bloom_mode == "broadcast":
                 # fuse the bloom delta into THIS action: a pass-through
-                # Arrow stage collects the new url_hashes into an
-                # accumulator while the rows flow to the writer, and the
-                # driver ORs them into its bloom copy after the commit —
-                # the round drops from 3 Spark actions to 2. The written
-                # file and the accumulator see the same rows, so lineage
-                # stays durable-delta-equivalent (resume still rebuilds
-                # from the files, _bloom_rebuild).
-                hash_acc = spark.sparkContext.accumulator([], _HashListAccum())
+                # Arrow stage (AFTER the fan-in repartition, so at most
+                # n_files tasks each ship one bitset delta) builds the
+                # per-shard delta bitsets into an accumulator while the
+                # rows flow to the writer, and the driver ORs them into
+                # its bloom copy after the commit — the round drops from
+                # 3 Spark actions to 2. The written file and the
+                # accumulator see the same rows, so lineage stays
+                # durable-delta-equivalent (resume still rebuilds from
+                # the files, _bloom_rebuild).
+                bits_acc = spark.sparkContext.accumulator({}, _BloomBitsAccum())
                 schema = new_entries.schema
+                n_shards, m, k = self._bloom_cfg
 
-                def tap(batches, _acc=hash_acc):
+                def tap(batches, _acc=bits_acc):
                     for pdf in batches:
-                        _acc.add(pdf["url_hash"].tolist())
+                        h = pdf["url_hash"].to_numpy(dtype=np.int64)
+                        if len(h):
+                            sh = shard_of(h, n_shards)
+                            _acc.add(
+                                {
+                                    int(s): build_bits(h[sh == s], m, k).tobytes()
+                                    for s in np.unique(sh)
+                                }
+                            )
                         yield pdf
 
-                to_write = new_entries.mapInPandas(tap, schema)
-            to_write.repartition(n_files).observe(
+                to_write = to_write.mapInPandas(tap, schema)
+            to_write.observe(
                 obs2, F.count(F.lit(1)).alias("n_new")
             ).write.mode("overwrite").parquet(fr_path)
             n_new = int(obs2.get["n_new"])
@@ -889,7 +909,8 @@ class CrawlEngine:
             # --- bloom delta (fused via accumulator in broadcast mode;
             # its own distributed append job in partitioned mode) --------
             if self.bloom_mode == "broadcast":
-                self.bloom.add_many(np.asarray(hash_acc.value, dtype=np.int64))
+                for s, bits in bits_acc.value.items():
+                    self.bloom.bits[s] |= np.frombuffer(bits, dtype=np.uint8)
             else:
                 self._bloom_update(
                     spark.read.parquet(fr_path).select("url_hash"), "url_hash"

@@ -18,6 +18,7 @@ bucket-local, never all-pairs.
 
 from __future__ import annotations
 
+import zlib
 from struct import error as struct_error
 
 import numpy as np
@@ -105,7 +106,10 @@ def image_features(df: DataFrame, carry_cols: tuple = ()) -> DataFrame:
                     out["luma_hist"].append(hist.astype(int).tolist())
                     out["phash_check"].append(mean_hash_64(px))
                     out["decode_ok"].append(True)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, zlib.error, struct_error):
+                    # unsupported fmt, corrupt/truncated stream, bad
+                    # inflate — all surface as decode_ok=false rows per
+                    # the README decode contract, never failed jobs
                     out["image_id"].append(iid)
                     for c in ("decoded_w", "decoded_h", "mean_r", "mean_g", "mean_b"):
                         out[c].append(None)
@@ -139,7 +143,7 @@ def thumbnails(df: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
                     px = decode_image(bytes(blob), fmt)
                     thumbs.append(encode_png(resize_block_mean(px, out_h, out_w)))
                     ids.append(iid)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, zlib.error, struct_error):
                     ids.append(iid)
                     thumbs.append(None)
             yield pd.DataFrame({"image_id": ids, "thumb": thumbs})
@@ -326,6 +330,8 @@ def synthesize_audio(ids: DataFrame, id_col: str = "doc_id", sr: int = 8000) -> 
     * ``s_i = ((id·31 + i·17) % 201) − 100``.
     """
 
+    from .datagen.wav import encode_wav
+
     def gen(batches):
         for pdf in batches:
             out = {f.name: [] for f in _AUDIO_SCHEMA.fields}
@@ -334,8 +340,6 @@ def synthesize_audio(ids: DataFrame, id_col: str = "doc_id", sr: int = 8000) -> 
                 n = 800 + (i % 5) * 400
                 idx = np.arange(n, dtype=np.int64)
                 s = ((i * 31 + idx * 17) % 201 - 100).astype(np.int16)
-                from .datagen.wav import encode_wav
-
                 out["audio_id"].append(i)
                 out["bytes"].append(encode_wav(s, sr))
                 out["sr"].append(sr)

@@ -1013,10 +1013,10 @@ def dedup_clusters_docs(spark, sf_dir):
         neardup_clusters,
     )
 
-    from scalpel_spark.textops import _persist_candidates
+    from scalpel_spark.spark.util import persist_candidates
 
     d = _t(spark, sf_dir, "documents")
-    sigs = _persist_candidates(minhash_signatures(d))
+    sigs = persist_candidates(minhash_signatures(d))
     pairs = exact_jaccard_verify(lsh_candidate_pairs(sigs, n_bands=16), d, 0.5)
     return neardup_clusters(d, pairs)
 
@@ -1441,6 +1441,7 @@ def stream_window_counts_events(spark, sf_dir):
     computes. A green row pins streaming-vs-batch agreement INCLUDING
     the append/watermark emission semantics, not just the arithmetic. Values are pre-rounded to integer cents before
     the stream so the double sum is order-insensitive-exact."""
+    import atexit
     import os
     import shutil
     import tempfile
@@ -1448,6 +1449,9 @@ def stream_window_counts_events(spark, sf_dir):
     from scalpel_spark.streaming.pipelines import stream_event_window_counts
 
     tmp = tempfile.mkdtemp(prefix="stream_ev_row_")
+    # the parquet sink must outlive the returned (lazy) DataFrame, so
+    # cleanup is deferred to interpreter exit rather than done inline
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     inp = os.path.join(tmp, "in")
     outp = os.path.join(tmp, "out")
     chk = os.path.join(tmp, "chk")

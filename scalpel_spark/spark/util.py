@@ -24,3 +24,33 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     # utilization; 32 on 8 = 4 even waves)
     target = min_partitions or slots * 4
     return df.repartition(target)
+
+
+# ---------------------------------------------------------------------------
+# persisted-frame registry
+#
+# Several pipelines (neardup text ops, LSH similarity join, cluster
+# propagation) persist small intermediate frames because their returned
+# plan references them repeatedly — but the returned DataFrame is lazy,
+# so the producing function can't unpersist before the caller's action.
+# Frames register here; long-lived callers that run many catalog queries
+# in one session (bench, test harnesses) call release_candidate_cache()
+# between queries so cached frames don't accumulate in executor storage.
+
+_CANDIDATE_CACHE: list = []
+
+
+def persist_candidates(df: DataFrame) -> DataFrame:
+    """Persist a (small) frame and register it for bulk release."""
+    df = df.persist()
+    _CANDIDATE_CACHE.append(df)
+    return df
+
+
+def release_candidate_cache() -> None:
+    """Unpersist every frame registered since the last call."""
+    while _CANDIDATE_CACHE:
+        try:
+            _CANDIDATE_CACHE.pop().unpersist()
+        except Exception:
+            pass  # session already stopped

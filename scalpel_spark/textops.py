@@ -32,32 +32,11 @@ from pyspark.sql import types as T
 from .crawl.bloom import _fmix64_np
 from .spark.util import spread
 
-# ---------------------------------------------------------------------------
-# candidate-pair cache registry
-#
-# The neardup pipelines persist their (tiny) candidate-pair frames because
-# the returned plan references them several times — but the returned
-# DataFrame is lazy, so the function can't unpersist before the caller's
-# action. Frames register here; callers that run many catalog queries in
-# one session (bench, test harness) call release_candidate_cache() between
-# queries so cached frames don't accumulate in executor storage.
-
-_CANDIDATE_CACHE: list = []
-
-
-def _persist_candidates(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _CANDIDATE_CACHE.append(df)
-    return df
-
-
-def release_candidate_cache() -> None:
-    """Unpersist every candidate-pair frame cached since the last call."""
-    while _CANDIDATE_CACHE:
-        try:
-            _CANDIDATE_CACHE.pop().unpersist()
-        except Exception:
-            pass  # session already stopped
+# the persisted-frame registry lives in spark.util (it is cross-module
+# infrastructure — annops and queries use it too); re-exported here for
+# callers that import it from the text-op module
+from .spark.util import persist_candidates as _persist_candidates  # noqa: E402
+from .spark.util import release_candidate_cache  # noqa: F401, E402
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,11 @@ def main() -> None:
     if args.modes:
         keep = set(args.modes.split(","))
         pattern = [p for p in pattern if p[0] in keep]
+    if not pattern:
+        sys.exit(
+            "no modes selected — check --modes spelling (and pass "
+            "--fat-scale > 0 to enable the fat config)"
+        )
     while time.time() < deadline:
         for mode, cpus in pattern:
             if time.time() > deadline:

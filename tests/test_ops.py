@@ -352,3 +352,28 @@ def test_exact_jaccard_verify_est_screen_same_pairs(spark, docs_with_dups):
     }
     release_candidate_cache()
     assert plain and screened == plain
+
+
+def test_image_features_corrupt_blob_yields_decode_false(spark):
+    """Corrupt/truncated payloads must surface as decode_ok=false rows
+    (the README decode contract), never fail the job."""
+    from scalpel_spark.datagen.images import encode_png
+    import numpy as np
+
+    good = encode_png(np.zeros((8, 8, 3), np.uint8))
+    rows = [
+        ("ok", bytearray(good), "png"),
+        ("trunc_png", bytearray(good[:20]), "png"),
+        ("garbage_jpeg", bytearray(b"\xff\xd8\xff\xdb junk"), "jpeg"),
+        ("unknown_fmt", bytearray(good), "webp"),
+    ]
+    from scalpel_spark.imageops import image_features
+
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    got = {r["image_id"]: r["decode_ok"] for r in image_features(df).collect()}
+    assert got == {
+        "ok": True,
+        "trunc_png": False,
+        "garbage_jpeg": False,
+        "unknown_fmt": False,
+    }

@@ -55,6 +55,17 @@ def _query_names():
 ALL_QUERIES, _ = _query_names()
 
 
+@pytest.fixture(autouse=True)
+def _release_persisted_frames(spark):
+    """The neardup/LSH pipelines persist small frames their lazy plans
+    reference repeatedly; release them between queries so the ~50-query
+    suite doesn't accumulate cached storage (mirrors bench.py)."""
+    yield
+    from scalpel_spark.spark.util import release_candidate_cache
+
+    release_candidate_cache()
+
+
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_query_runs_and_matches_oracle(spark, ddb, name):
     from scalpel_spark.queries import ORACLES, QUERIES
