@@ -51,6 +51,12 @@ def main() -> None:
     ap.add_argument("--records", required=True)
     ap.add_argument("--low", type=int, default=2)
     ap.add_argument("--high", type=int, default=8)
+    ap.add_argument(
+        "--notes-file",
+        default=None,
+        help="markdown appended verbatim before the methodology section "
+        "(side measurements: bloom-mode parity, AQE checks, ...)",
+    )
     args = ap.parse_args()
 
     best: dict = {}
@@ -150,6 +156,10 @@ drops below 1% of round time; the fat-round configuration here is the
 closest sandbox-sized emulation of that regime, and its efficiency is
 the number that predicts cluster scaling.
 """)
+
+        if args.notes_file:
+            with open(args.notes_file) as nf:
+                f.write("\n" + nf.read())
 
         f.write(f"""
 ## Methodology / environment notes
