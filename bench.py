@@ -89,7 +89,7 @@ def main() -> None:
     # warm the JVM/Python-worker pool once (not timed)
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # best-of-2 per query: this host's hypervisor steal gives identical
+    # best-of-3 per query: this host's hypervisor steal gives identical
     # Spark jobs 2-10x spread; min is the robust engine-capability
     # estimator (same methodology as the scaling bench / crawl phase)
     from scalpel_spark.textops import release_candidate_cache
@@ -97,7 +97,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
             dt = time.perf_counter() - t0
@@ -118,11 +118,11 @@ def main() -> None:
     from scalpel_spark import any_selector, attr, chroots, sdo
 
     scraper = chroots("img", sdo(attr("src", any_selector), attr("alt", any_selector)))
-    # best-of-2, same as the query block: single-shot extraction numbers
+    # best-of-3, same as the query block: single-shot extraction numbers
     # are a noise-epoch lottery on this host (and the first run also
     # pays python-worker spin-up for the full worker pool)
     dt = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         n_rec = extract_records(
             pages.repartition(CPUS * 2),
