@@ -150,10 +150,11 @@ def main() -> None:
             os.path.join(repo, "scripts", "crawl_worker.py"),
             "--cpus", str(crawl_cpus), "--world", WORLD_DIR, "--rounds", "6",
             "--warmup-world", WARMUP_DIR,
-            # best-of-4 in one JVM: this host's hypervisor steal makes a
-            # single run a 2-10x lottery (see BENCH/BASELINE.md method);
-            # four ~30s attempts give ≥1 quiet-epoch sample most days
-            "--attempts", "4",
+            # best-of-6 in one JVM, 20s apart: this host's hypervisor
+            # steal makes a single run a 2-10x lottery and epochs last
+            # minutes, so spaced attempts are needed to reach a quiet
+            # window (see BENCH/BASELINE.md method)
+            "--attempts", "6",
         ],
         capture_output=True, text=True, cwd=repo,
     )

@@ -118,7 +118,12 @@ def main() -> None:
         return
 
     best = None
-    for _ in range(max(args.attempts, 1)):
+    for att in range(max(args.attempts, 1)):
+        if att:
+            # this host's noise comes in minutes-long epochs — spacing
+            # attempts decorrelates them; back-to-back best-of-N can land
+            # every sample in one bad epoch
+            time.sleep(20)
         out = args.out or tempfile.mkdtemp(prefix=f"crawl_scale_{args.cpus}_")
         try:
             t0 = time.perf_counter()
