@@ -57,24 +57,45 @@ WARMUP_DIR = os.path.join(
 
 
 def ensure_world():
-    from scalpel_spark.datagen.world import WorldParams, write_world
+    from scalpel_spark.datagen.world import WorldParams, ensure_world as ensure
 
-    marker = os.path.join(WORLD_DIR, "pages.parquet")
     # fat politeness budgets → compute-dominated rounds (the toy-scale
-    # stand-in for hour-long rounds at 10^10 scale)
+    # stand-in for hour-long rounds at 10^10 scale). ensure() is
+    # version-stamped: a codec/format change regenerates the cached
+    # world instead of silently reusing stale blobs.
     params = WorldParams(
         seed=42, n_hosts=120, n_pages=6000, n_images=1500,
         budget_min=10, budget_max=30,
     )
-    if not os.path.exists(marker):
-        write_world(WORLD_DIR, params)
-    if not os.path.exists(os.path.join(WARMUP_DIR, "pages.parquet")):
-        write_world(
-            WARMUP_DIR,
-            WorldParams(seed=7, n_hosts=20, n_pages=800, n_images=100,
-                        seed_fraction=1.0, budget_min=10**6, budget_max=10**6 + 1),
-        )
+    ensure(WORLD_DIR, params)
+    ensure(
+        WARMUP_DIR,
+        WorldParams(seed=7, n_hosts=20, n_pages=800, n_images=100,
+                    seed_fraction=1.0, budget_min=10**6, budget_max=10**6 + 1),
+    )
     return params
+
+
+def _make_calibration(spark):
+    """Fixed-shape pure-JVM probe: a parquet scan + hash agg whose cost
+    is constant across rounds (same files, same plan). Its timing
+    samples the HOST's current noise epoch, not the engine — interleaved
+    before every timed rep so a whole-suite epoch multiplier can be
+    factored out of round-over-round comparisons after the fact
+    (normalization rule: BENCH/notes_r5.md)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+
+    def cal() -> float:
+        t0 = time.perf_counter()
+        li.groupBy("l_returnflag").agg(
+            F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    cal()  # warm the scan path once so rep-1 calibration isn't a cold outlier
+    return cal
 
 
 def main() -> None:
@@ -85,9 +106,12 @@ def main() -> None:
                       shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    reps: dict[str, list[float]] = {}
+    calibration: dict[str, list[float]] = {}
 
     # warm the JVM/Python-worker pool once (not timed)
     spark.range(1000).selectExpr("sum(id)").collect()
+    cal = _make_calibration(spark)
 
     # best-of-3 per query: this host's hypervisor steal gives identical
     # Spark jobs 2-10x spread; min is the robust engine-capability
@@ -96,13 +120,15 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        best = None
+        q_reps, q_cal = [], []
         for _ in range(3):
+            q_cal.append(cal())
             t0 = time.perf_counter()
             n = fn(spark, SF_DIR).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            q_reps.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(q_reps)
+        reps[name] = q_reps
+        calibration[name] = q_cal
         extras[f"{name}_rows"] = n
         # drop candidate-pair frames the neardup pipelines persisted so
         # cached storage doesn't accumulate across the suite (within a
@@ -121,8 +147,9 @@ def main() -> None:
     # best-of-3, same as the query block: single-shot extraction numbers
     # are a noise-epoch lottery on this host (and the first run also
     # pays python-worker spin-up for the full worker pool)
-    dt = None
+    q_reps, q_cal = [], []
     for _ in range(3):
+        q_cal.append(cal())
         t0 = time.perf_counter()
         n_rec = extract_records(
             pages.repartition(CPUS * 2),
@@ -130,8 +157,10 @@ def main() -> None:
             "src string, alt string",
             carry_cols=["url"],
         ).count()
-        d1 = time.perf_counter() - t0
-        dt = d1 if dt is None else min(dt, d1)
+        q_reps.append(round(time.perf_counter() - t0, 3))
+    dt = min(q_reps)
+    reps["extract_images_world"] = q_reps
+    calibration["extract_images_world"] = q_cal
     timings["extract_images_world"] = round(dt, 3)
     extras["extract_pages_per_sec"] = round(n_pages / dt, 1)
     extras["extract_records"] = n_rec
@@ -164,9 +193,12 @@ def main() -> None:
         timings["crawl_bsp_6_rounds"] = crawl["rounds_sec"]
         extras["crawl_urls_fetched"] = crawl["urls"]
         extras["crawl_urls_per_sec"] = crawl["urls_per_sec"]
+        if "attempt_secs" in crawl:
+            reps["crawl_bsp_6_rounds"] = crawl["attempt_secs"]
     else:
         timings["crawl_bsp_6_rounds"] = -1.0
         extras["crawl_error"] = res.stderr[-400:]
+    calibration["crawl_bsp_6_rounds"] = [cal()]
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -179,6 +211,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cpus": CPUS,
+                "reps": reps,
+                "calibration": calibration,
                 "extras": extras,
             }
         )

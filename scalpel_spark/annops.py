@@ -267,11 +267,14 @@ def similarity_join_lsh(
 
     * candidates: every id pair whose probe-expanded bucket set (base +
       ``multiprobe`` flipped variants) hits the OTHER id's BASE bucket
-      in any of ``n_tables`` hyperplane tables — asymmetric probing: a
-      self-join of both probe-expanded sides would square the probe
-      factor into every bucket product for no recall the asymmetric
-      form doesn't already get from its two directions. Shuffle keyed
-      on (table, bucket); cost follows bucket occupancy, never N²;
+      in any of ``n_tables`` hyperplane tables — asymmetric probing
+      trades away a small amount of probe-probe recall (two vectors can
+      each flip into a shared non-base bucket without either hitting
+      the other's base bucket) for LINEAR candidate growth in the probe
+      factor — the symmetric probe×probe form squares it into every
+      bucket product. The traded recall is covered by the measured
+      ``similarity_join_recall`` gate. Shuffle keyed on
+      (table, bucket); cost follows bucket occupancy, never N²;
     * dedup BEFORE scoring: each surviving pair fetches vectors and is
       scored exactly once, by the same codegen cosine expression as the
       exact join, so output rows are bit-identical to the brute-force

@@ -40,7 +40,8 @@ Frontier storage is DELTA-ONLY (the Iceberg-style pattern):
     round), exactly like the bloom table's delta+compact cycle.
 
 Fixed per-round cost budget (the thing that decides N→4N scaling at a
-fixed round count): exactly THREE Spark actions per round —
+fixed round count): exactly TWO Spark actions per round in broadcast
+bloom mode —
 
   1. write ``round_data``     (politeness + fetch + extraction; the
                                fetch log and the image records are
@@ -48,17 +49,24 @@ fixed round count): exactly THREE Spark actions per round —
                                and its (url_hash,url) columns are the
                                frontier tombstones — no extra write)
   2. write ``frontier_delta`` (link dedup + robots + bloom + exact
-                               seen check; O(new links) bytes)
-  3. bloom delta update       (broadcast mode: collect of n_shards tiny
-                               delta rows; partitioned mode: distributed
-                               append of delta shard rows)
+                               seen check; O(new links) bytes). In
+                               broadcast bloom mode the per-shard bloom
+                               delta bitsets ride THIS action as an
+                               ``_BloomBitsAccum`` accumulator built by
+                               a pass-through Arrow stage after the
+                               fan-in repartition — the driver ORs them
+                               in after the commit, so the bloom update
+                               costs zero extra jobs. Partitioned mode
+                               pays a third action: a distributed
+                               append of delta shard rows.
 
-plus one O(pending) ``frontier_base`` write every C rounds. Actions 2
-and 3 re-derive their inputs from the round's DURABLE parquet (the
-files written by the previous action), never from cached lineage — so
-a lost cache partition can never recompute a non-deterministic fetch
-(http mode) into a different answer: what was committed is what every
-later stage sees.
+plus one O(pending) ``frontier_base`` write every C rounds. Action 2
+re-derives its input from the round's DURABLE parquet (the files
+written by the previous action), never from cached lineage — so a lost
+cache partition can never recompute a non-deterministic fetch (http
+mode) into a different answer: what was committed is what every later
+stage sees (resume likewise rebuilds the bloom from the committed
+delta files, never from the accumulator).
 
 Row counts and per-round metrics come from ``Observation`` metrics
 attached to the writes — the data is never re-read to count it.
@@ -296,11 +304,12 @@ class CrawlEngine:
         # corpus mode resolves URLs against the pages table (the offline
         # stand-in for HTTP GET); http mode GETs them for real inside the
         # fetch task, so no pages table is needed
-        self.pages = (
-            spark.read.parquet(os.path.join(corpus_dir, "pages.parquet"))
-            if fetch_mode == "corpus"
-            else None
-        )
+        if fetch_mode == "corpus":
+            pages_path = os.path.join(corpus_dir, "pages.parquet")
+            self._tune_scan_splits(pages_path)
+            self.pages = spark.read.parquet(pages_path)
+        else:
+            self.pages = None
         robots = spark.read.parquet(os.path.join(corpus_dir, "robots.parquet"))
         # persisted: every round builds TWO broadcasts off this frame
         # (budget join in the politeness batch, disallow join in the link
@@ -320,6 +329,37 @@ class CrawlEngine:
         self._two_level_scan = self._n_known_hosts > 100_000
 
     # ------------------------------------------------------------------
+
+    def _tune_scan_splits(self, pages_path: str) -> None:
+        """Shrink ``spark.sql.files.maxPartitionBytes`` so the corpus
+        scan yields ≥ 4 even waves of tasks per core.
+
+        The fetch+extract stage runs DIRECTLY on the corpus scan
+        partitions (page bodies are never shuffled), so scan split
+        count IS the extraction parallelism. Synthetic/compressible
+        corpora compress ~20×, so a 32 MB split can hide minutes of
+        per-task decode+extract work: e.g. a 274 MB corpus at the
+        session default scans as ~11 tasks — 1.4 ragged waves on 8
+        cores (~73% utilization) while 2 cores pack them evenly, which
+        directly caps N→4N scaling efficiency. Only ever SHRINKS the
+        session value (small-corpus regime); at production corpus
+        sizes bytes/(4·slots) exceeds the session default and this is
+        a no-op. Floor of 1 MB keeps splits ≥ row-group size."""
+        try:
+            total = sum(
+                os.path.getsize(os.path.join(d, f))
+                for d, _, fs in os.walk(pages_path)
+                for f in fs
+                if not f.startswith(("_", "."))
+            ) or os.path.getsize(pages_path)
+        except OSError:
+            return
+        slots = self.spark.sparkContext.defaultParallelism
+        cur = self.spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        cur_b = int(str(cur).lower().rstrip("b"))
+        split = max(1 << 20, min(cur_b, total // (4 * slots) or 1))
+        if split < cur_b:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
 
     def _seed_frontier(self) -> DataFrame:
         """Distributed seed prep: canonicalize+hash in Arrow batches, then
@@ -961,6 +1001,11 @@ class CrawlEngine:
             if n_fetched == 0 or pending_rows <= 0:
                 break
 
+        # release the per-engine robots cache: harnesses that build many
+        # engines in one Spark session (best-of-N bench loops) would
+        # otherwise accumulate one cached copy per engine. A later
+        # re-run on the same instance just re-reads the tiny parquet.
+        self.robots.unpersist()
         return {
             "total_fetched": seq_offset,
             "rounds_sec": round(rounds_sec, 2),

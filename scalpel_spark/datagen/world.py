@@ -24,11 +24,22 @@ simulator too).
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
+import shutil
 
 import numpy as np
 
 from .images import encode_png, mean_hash_64
+
+#: Bump whenever any datagen wire format changes (PNG/JPEG/WAV codecs,
+#: page HTML shape, phash definition). Cached ``data/`` worlds are
+#: reused across rounds on disk; the version file written by
+#: ``write_world`` ties a world to the codec generation that produced
+#: it, so a format fix (e.g. the r4 JPEG zigzag correction) can never
+#: leave a stale world whose stored phash silently disagrees with what
+#: the current decoder extracts from its blobs. v2 = post-zigzag-fix.
+DATAGEN_VERSION = 2
 
 _CAPTION_ADJ = ["cat", "dog", "bird", "fish", "fox", "owl", "frog", "bear"]
 _CAPTION_KIND = ["picture", "photo", "drawing", "sketch", "portrait"]
@@ -325,6 +336,35 @@ def _arrow_type(name: str):
     }[name]
 
 
+def _version_payload(params: WorldParams) -> dict:
+    return {
+        "datagen_version": DATAGEN_VERSION,
+        "params": dataclasses.asdict(params),
+    }
+
+
+def world_current(out_dir: str, params: WorldParams) -> bool:
+    """True iff ``out_dir`` holds a world written by THIS datagen
+    version with exactly ``params`` (the version file is written last,
+    so a torn ``write_world`` never reads as current)."""
+    try:
+        with open(os.path.join(out_dir, "world_version.json")) as f:
+            return json.load(f) == _version_payload(params)
+    except (OSError, ValueError):
+        return False
+
+
+def ensure_world(out_dir: str, params: WorldParams) -> str:
+    """Idempotent world cache: reuse ``out_dir`` only when its stamped
+    codec version + params match; otherwise wipe and regenerate. This is
+    the ONLY sanctioned reuse path — existence-only checks let a codec
+    fix strand blobs whose stored phash the new decoder can't reproduce."""
+    if not world_current(out_dir, params):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        write_world(out_dir, params)
+    return out_dir
+
+
 def write_world(out_dir: str, params: WorldParams) -> dict:
     """Generate + write the four tables as parquet under ``out_dir``;
     returns the in-memory world dict for immediate use."""
@@ -342,4 +382,6 @@ def write_world(out_dir: str, params: WorldParams) -> dict:
         pq.write_table(
             table, os.path.join(out_dir, f"{name}.parquet"), row_group_size=2048
         )
+    with open(os.path.join(out_dir, "world_version.json"), "w") as f:
+        json.dump(_version_payload(params), f, indent=1)
     return world

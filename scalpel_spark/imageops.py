@@ -18,6 +18,7 @@ bucket-local, never all-pairs.
 
 from __future__ import annotations
 
+import math
 import zlib
 from struct import error as struct_error
 
@@ -294,10 +295,13 @@ def audio_features(df: DataFrame) -> DataFrame:
                     out["audio_id"].append(int(aid))
                     out["sr"].append(sr)
                     out["n_samples"].append(n)
-                    out["duration_ms"].append(round(1000 * n / sr))
-                    out["rms_i4"].append(round(rms * 10000))
+                    # half-away-from-zero (values are ≥ 0 here), matching
+                    # DuckDB ROUND(); Python round() is banker's and would
+                    # diverge on an exact .5 tie
+                    out["duration_ms"].append(int(math.floor(1000 * n / sr + 0.5)))
+                    out["rms_i4"].append(int(math.floor(rms * 10000 + 0.5)))
                     out["zcr"].append(zcr)
-                    out["centroid_mhz"].append(round(cent * 1000))
+                    out["centroid_mhz"].append(int(math.floor(cent * 1000 + 0.5)))
                     out["decode_ok"].append(True)
                 except (ValueError, struct_error):
                     out["audio_id"].append(int(aid))

@@ -47,11 +47,36 @@ def main() -> None:
         default=os.path.join(REPO, "data", "scaling_world_240000_w24_fat"),
     )
     ap.add_argument(
+        "--xfat-world",
+        default=os.path.join(REPO, "data", "scaling_world_240000_w24_xfat"),
+        help="every-page-seeded world: ONE maximally-fat round (the "
+        "per-round coordination floor is paid exactly once — the "
+        "closest sandbox emulation of hour-long production rounds)",
+    )
+    ap.add_argument(
         "--modes", default="",
-        help="comma-separated subset of {crawl,kernel,fat} to sample "
-        "(default: crawl,kernel plus fat when --fat-scale > 0)",
+        help="comma-separated subset of {crawl,kernel,fat,xfat} to "
+        "sample (default: crawl,kernel plus fat when --fat-scale > 0; "
+        "xfat only when requested explicitly)",
     )
     args = ap.parse_args()
+
+    # regenerate any stale (pre-codec-version-stamp) cached worlds before
+    # sampling starts — never mid-loop, where it would pollute a sample
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    modes_req = set(args.modes.split(",")) if args.modes else set()
+    import scaling_bench as sb
+
+    sb.ensure_warmup_world()
+    if not modes_req or "kernel" in modes_req:
+        sb.ensure_heavy_world(120000)
+    if not modes_req or "crawl" in modes_req:
+        sb.ensure_heavy_world(240000)
+    if args.fat_scale and (not modes_req or "fat" in modes_req):
+        sb.ensure_fat_world(240000)
+    if "xfat" in modes_req:
+        sb.ensure_xfat_world(240000)
 
     deadline = time.time() + args.minutes * 60
     i = 0
@@ -64,9 +89,10 @@ def main() -> None:
     ]
     if args.fat_scale:
         pattern += [("fat", args.high), ("fat", args.low)]
-    if args.modes:
-        keep = set(args.modes.split(","))
-        pattern = [p for p in pattern if p[0] in keep]
+    if "xfat" in modes_req:
+        pattern += [("xfat", args.high), ("xfat", args.low)]
+    if modes_req:
+        pattern = [p for p in pattern if p[0] in modes_req]
     if not pattern:
         sys.exit(
             "no modes selected — check --modes spelling (and pass "
@@ -76,9 +102,11 @@ def main() -> None:
         for mode, cpus in pattern:
             if time.time() > deadline:
                 break
-            world = {"kernel": args.kernel_world, "fat": args.fat_world}.get(
-                mode, args.world
-            )
+            world = {
+                "kernel": args.kernel_world,
+                "fat": args.fat_world,
+                "xfat": args.xfat_world,
+            }.get(mode, args.world)
             cmd = [
                 sys.executable, os.path.join(REPO, "scripts", "crawl_worker.py"),
                 "--cpus", str(cpus), "--world", world,
@@ -87,7 +115,9 @@ def main() -> None:
             ]
             if mode == "fat":
                 cmd += ["--rounds", str(args.fat_rounds),
-                        "--budget-scale", str(args.fat_scale)]
+                        "--budget-scale", str(max(args.fat_scale, 1))]
+            elif mode == "xfat":
+                cmd += ["--rounds", "1"]
             else:
                 cmd += ["--rounds", str(args.rounds)]
             if mode != "kernel":

@@ -52,17 +52,31 @@ def main() -> None:
         help="multiply per-host politeness budgets: fat rounds amortize "
         "the per-round driver coordination floor (production regime)",
     )
+    ap.add_argument(
+        "--event-log", default=None,
+        help="write Spark event logs under this dir (stage-level "
+        "attribution of the per-round fixed floor; see "
+        "scripts/stage_attrib.py)",
+    )
     args = ap.parse_args()
 
     from scalpel_spark.crawl.engine import CrawlEngine
     from scalpel_spark.spark.session import get_spark
 
+    extra = None
+    if args.event_log:
+        os.makedirs(args.event_log, exist_ok=True)
+        extra = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": args.event_log,
+        }
     spark = get_spark(
         app=f"crawl_scaling_{args.cpus}",
         master=f"local[{args.cpus}]",
         # 4x slots: shuffle stages get tail-balanced waves (8 partitions
         # on 8 cores = one ragged wave); AQE coalesces the small ones
         shuffle_partitions=args.shuffle_partitions or max(8, args.cpus * 4),
+        extra_conf=extra,
     )
     # warm up JVM + python worker pool before timing
     spark.range(10_000).selectExpr("sum(id)").collect()

@@ -32,58 +32,83 @@ sys.path.insert(0, REPO)
 
 
 def ensure_world(n_pages: int) -> str:
-    from scalpel_spark.datagen.world import WorldParams, write_world
+    from scalpel_spark.datagen.world import WorldParams, ensure_world as ensure
 
     d = os.path.join(REPO, "data", f"scaling_world_{n_pages}_w8")
-    if not os.path.exists(os.path.join(d, "pages.parquet")):
-        print(f"generating scaling world ({n_pages} pages) ...", file=sys.stderr)
-        write_world(
-            d,
-            WorldParams(
-                seed=42,
-                n_hosts=400,
-                n_pages=n_pages,
-                n_images=2000,
-                seed_fraction=0.05,
-                budget_min=10**6,
-                budget_max=10**6 + 1,
-                page_weight=8,
-                mean_outlinks=10,
-            ),
-        )
-    return d
+    return ensure(
+        d,
+        WorldParams(
+            seed=42,
+            n_hosts=400,
+            n_pages=n_pages,
+            n_images=2000,
+            seed_fraction=0.05,
+            budget_min=10**6,
+            budget_max=10**6 + 1,
+            page_weight=8,
+            mean_outlinks=10,
+        ),
+    )
 
 
 def ensure_heavy_world(n_pages: int) -> str:
-    from scalpel_spark.datagen.world import WorldParams, write_world
+    from scalpel_spark.datagen.world import WorldParams, ensure_world as ensure
 
     d = os.path.join(REPO, "data", f"scaling_world_{n_pages}_w24")
-    if not os.path.exists(os.path.join(d, "pages.parquet")):
-        print(f"generating heavy world ({n_pages} pages) ...", file=sys.stderr)
-        write_world(
-            d,
-            WorldParams(
-                seed=42, n_hosts=400, n_pages=n_pages, n_images=2000,
-                seed_fraction=0.05, budget_min=10**6, budget_max=10**6 + 1,
-                page_weight=24, mean_outlinks=10,
-            ),
-        )
-    return d
+    return ensure(
+        d,
+        WorldParams(
+            seed=42, n_hosts=400, n_pages=n_pages, n_images=2000,
+            seed_fraction=0.05, budget_min=10**6, budget_max=10**6 + 1,
+            page_weight=24, mean_outlinks=10,
+        ),
+    )
+
+
+def ensure_fat_world(n_pages: int) -> str:
+    """Heavy world with 50% of pages seeded: 2 rounds of ~n_pages/2
+    URLs each — the production-amortized round-size regime."""
+    from scalpel_spark.datagen.world import WorldParams, ensure_world as ensure
+
+    d = os.path.join(REPO, "data", f"scaling_world_{n_pages}_w24_fat")
+    return ensure(
+        d,
+        WorldParams(
+            seed=42, n_hosts=400, n_pages=n_pages, n_images=2000,
+            seed_fraction=0.5, budget_min=10**6, budget_max=10**6 + 1,
+            page_weight=24, mean_outlinks=10,
+        ),
+    )
+
+
+def ensure_xfat_world(n_pages: int) -> str:
+    """Every page seeded: ONE maximally-fat round fetching the whole
+    corpus — the closest sandbox emulation of an hour-long production
+    round, paying the per-round coordination floor exactly once."""
+    from scalpel_spark.datagen.world import WorldParams, ensure_world as ensure
+
+    d = os.path.join(REPO, "data", f"scaling_world_{n_pages}_w24_xfat")
+    return ensure(
+        d,
+        WorldParams(
+            seed=42, n_hosts=400, n_pages=n_pages, n_images=2000,
+            seed_fraction=1.0, budget_min=10**6, budget_max=10**6 + 1,
+            page_weight=24, mean_outlinks=10,
+        ),
+    )
 
 
 def ensure_warmup_world() -> str:
-    from scalpel_spark.datagen.world import WorldParams, write_world
+    from scalpel_spark.datagen.world import WorldParams, ensure_world as ensure
 
     d = os.path.join(REPO, "data", "warmup_world")
-    if not os.path.exists(os.path.join(d, "pages.parquet")):
-        write_world(
-            d,
-            WorldParams(
-                seed=7, n_hosts=50, n_pages=4000, n_images=200,
-                seed_fraction=1.0, budget_min=10**6, budget_max=10**6 + 1,
-            ),
-        )
-    return d
+    return ensure(
+        d,
+        WorldParams(
+            seed=7, n_hosts=50, n_pages=4000, n_images=200,
+            seed_fraction=1.0, budget_min=10**6, budget_max=10**6 + 1,
+        ),
+    )
 
 
 def run_worker(

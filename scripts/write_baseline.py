@@ -38,6 +38,15 @@ MODE_DESC = {
         "round sizes a 10^10-URL crawl actually runs, where per-round "
         "fixed costs amortize. Same full pipeline, same metric."
     ),
+    "xfat": (
+        "**Full BSP crawl — ONE maximally-fat round** — the same engine "
+        "over a 100%-seeded 240000-page world: a single ~235k-URL round, "
+        "so the per-round coordination floor (politeness windows, seen "
+        "check, commits) is paid exactly once. This is the sandbox's "
+        "closest emulation of an hour-long 10^6-10^7-URL production "
+        "round, and the configuration whose efficiency most directly "
+        "predicts cluster N→4N scaling."
+    ),
     "kernel": (
         "**Fetch+extract kernel** — the per-URL work that dominates at "
         "10^10 scale (corpus scan → Arrow-batched selector extraction of "
@@ -82,7 +91,7 @@ def main() -> None:
     ratio = args.high / args.low
     modes = [
         m
-        for m in ("crawl", "fat", "kernel")
+        for m in ("crawl", "fat", "xfat", "kernel")
         if (m, args.low) in best and (m, args.high) in best
     ]
 

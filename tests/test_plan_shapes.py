@@ -24,6 +24,18 @@ def catalog():
     return QUERIES
 
 
+@pytest.fixture(autouse=True)
+def _release_persisted_frames():
+    """Plan builders (LSH join, neardup pipelines) persist candidate
+    frames via the registry; release them per-test so cached storage
+    doesn't accumulate for the rest of the pytest session (same autouse
+    fixture as test_queries_oracle)."""
+    yield
+    from scalpel_spark.spark.util import release_candidate_cache
+
+    release_candidate_cache()
+
+
 def test_dim_joins_broadcast_not_sortmerge(spark, catalog):
     """region/nation (25-row dims) must broadcast into the orders fact
     scan — a sort-merge here would shuffle the fact table twice."""
