@@ -102,6 +102,17 @@ def main() -> None:
     from scalpel_spark.queries import QUERIES
     from scalpel_spark.spark.session import get_spark
 
+    # AQE decision rule (README "Adaptive execution"): AQE's per-exchange
+    # adaptive materialization costs ~30% fixed latency on the catalog's
+    # many-small-stage second-scale plans (measured r4), and pays off on
+    # the crawl (skew-join mitigation, no measured cost on its 2-action
+    # rounds) — so the catalog/extraction session here runs AQE OFF and
+    # the crawl subprocess runs AQE ON. An explicit SPARK_GRAFT_AQE in
+    # the caller's environment overrides both.
+    user_aqe = os.environ.get("SPARK_GRAFT_AQE")
+    if user_aqe is None:
+        os.environ["SPARK_GRAFT_AQE"] = "0"
+
     spark = get_spark(app="scalpel_spark_bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
@@ -186,6 +197,7 @@ def main() -> None:
             "--attempts", "6",
         ],
         capture_output=True, text=True, cwd=repo,
+        env=dict(os.environ, SPARK_GRAFT_AQE=user_aqe or "1"),
     )
     if res.returncode == 0:
         line = [l for l in res.stdout.strip().splitlines() if l.startswith("{")][-1]

@@ -482,11 +482,40 @@ def hamming_neardup_pairs(
             off += w
         return exprs
 
-    # persisted: referenced by both sides of the chunk-key self-join and
-    # by the hamming-0 diagonal below — one distinct shuffle, not three
-    uniq = _persist_candidates(base.select("_sig").distinct())
+    # adaptive blocking frame: the distinct-signature indirection exists
+    # to guard DEGENERATE corpora (10⁶ docs sharing one signature must
+    # cost one candidate row, not 10¹²) — but it buys that with ~4 extra
+    # stages (the distinct + its cache, the hamming-0 diagonal union,
+    # and two id-resolution joins). When signatures are in fact
+    # near-unique — the common case, checked with one sub-second
+    # groupBy on the already-cached tiny (id, sig) frame — block
+    # directly on the (id, sig) rows and carry the ids THROUGH the
+    # chunk-key join: equal-sig pairs agree on every chunk key, so the
+    # direct join finds them too and the whole diagonal/resolution tail
+    # vanishes. Exactness is identical; only the degenerate-blowup
+    # guard differs, so direct mode requires BOTH bounds: mean
+    # duplication ≤ 2 (total candidate volume ≤ ~4× the distinct-sig
+    # background) and max clique ≤ 64 (any single repeated value adds
+    # ≤ 64² rows per chunk key — trivially bounded).
+    per_sig = base.groupBy("_sig").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_sig.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum("c").alias("n"),
+        F.max("c").alias("mx"),
+    ).first()
+    direct = stats["d"] * 2 >= stats["n"] and stats["mx"] <= 64
+    if direct:
+        uniq = base
+        carry = [F.col("_id")]
+    else:
+        # persisted: referenced by both sides of the chunk-key self-join
+        # and by the hamming-0 diagonal below
+        uniq = _persist_candidates(base.select("_sig").distinct())
+        carry = []
     if pair_block:
-        arr = uniq.select("_sig", F.array(*chunk_exprs(n_chunks)).alias("chs"))
+        arr = uniq.select(
+            *carry, "_sig", F.array(*chunk_exprs(n_chunks)).alias("chs")
+        )
         pair_structs = [
             F.struct(
                 F.lit(i * n_chunks + j).alias("cij"),
@@ -497,16 +526,28 @@ def hamming_neardup_pairs(
             for j in range(i + 1, n_chunks)
         ]
         keys = arr.select(
-            "_sig", F.explode(F.array(*pair_structs)).alias("k")
-        ).select("_sig", "k.cij", "k.ca", "k.cb")
+            *carry, "_sig", F.explode(F.array(*pair_structs)).alias("k")
+        ).select(*carry, "_sig", "k.cij", "k.ca", "k.cb")
         join_cond = ["cij", "ca", "cb"]
     else:
         keys = uniq.select(
-            "_sig", F.posexplode(F.array(*chunk_exprs(n_chunks))).alias("ci", "ch")
+            *carry,
+            "_sig",
+            F.posexplode(F.array(*chunk_exprs(n_chunks))).alias("ci", "ch"),
         )
         join_cond = ["ci", "ch"]
-    l, r = keys.alias("l"), keys.alias("r")
-    cond = F.col("l._sig") < F.col("r._sig")
+    # SHUFFLE_HASH: Catalyst sizes the exploded key frame off its tiny
+    # pre-explode input (5k sig rows → "small"), picks BroadcastHashJoin,
+    # and single-threadedly collects+hashes all C(n,2)·n key rows on the
+    # driver — measured 3-4× slower than the shuffle join here, and a
+    # driver OOM at 10⁹ sigs. The key rows are narrow (5 ints); shuffling
+    # both sides is parallel and scale-flat.
+    l, r = keys.alias("l"), keys.hint("SHUFFLE_HASH").alias("r")
+    # direct mode orders on ids (sigs may repeat and equal-sig pairs
+    # must survive); indirect mode orders on the distinct sigs
+    cond = (
+        F.col("l._id") < F.col("r._id") if direct else F.col("l._sig") < F.col("r._sig")
+    )
     for c in join_cond:
         cond &= F.col(f"l.{c}") == F.col(f"r.{c}")
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -516,6 +557,20 @@ def hamming_neardup_pairs(
     # (~10⁶ rows here: wide-k chunk keys are weakly selective on
     # correlated signatures) to the qualifying pairs (~10² rows),
     # each duplicated at most C(n_chunks,2) times
+    if direct:
+        return (
+            l.join(r, cond)
+            .select(
+                F.col("l._id").alias("id_a"),
+                F.col("r._id").alias("id_b"),
+                F.col("l._sig").alias("sig_a"),
+                F.col("r._sig").alias("sig_b"),
+            )
+            .withColumn("hamming", ham.cast("int"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming")
+            .distinct()
+        )
     sig_pairs = (
         l.join(r, cond)
         .select(F.col("l._sig").alias("sig_a"), F.col("r._sig").alias("sig_b"))

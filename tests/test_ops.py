@@ -141,6 +141,41 @@ def test_hamming_neardup_pairs_exact_vs_bruteforce(spark):
         assert got == expect, f"k={k}: {got ^ expect}"
 
 
+def test_hamming_neardup_pairs_degenerate_forces_indirect(spark):
+    """A corpus where most docs share a handful of signatures must take
+    the distinct-sig (indirect) blocking path — the direct (id, sig)
+    join would square the clique — and still return the exact pair set
+    (every clique pair at hamming 0, plus the cross-clique pairs)."""
+    from scalpel_spark.textops import hamming_neardup_pairs
+
+    a = 0x0123456789ABCDEF
+    b = a ^ (1 << 5) ^ (1 << 40)  # hamming(a, b) = 2
+    c = 0x7EDCBA9876543210  # far from both
+    sigs = (
+        [(i, a) for i in range(100)]
+        + [(100 + i, b) for i in range(80)]
+        + [(200 + i, c) for i in range(3)]
+    )
+    df = spark.createDataFrame(
+        [(i, v - (1 << 64) if v >= (1 << 63) else v) for i, v in sigs],
+        "doc_id long, sig long",
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_neardup_pairs(df, "sig", max_hamming=3).collect()
+    }
+    expect = set()
+    ids_a, ids_b = list(range(100)), list(range(100, 180))
+    for grp in (ids_a, ids_b, [200, 201, 202]):
+        for x in range(len(grp)):
+            for y in range(x + 1, len(grp)):
+                expect.add((grp[x], grp[y], 0))
+    for x in ids_a:
+        for y in ids_b:
+            expect.add((x, y, 2))
+    assert got == expect
+
+
 def test_simhash_matches_sequential_reference(spark, docs_with_dups):
     """Vectorized simhash64 == a sequential FNV→shingle-poly→fmix→
     bit-vote reference (shingle_k=1: one feature per word)."""
