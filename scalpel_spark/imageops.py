@@ -357,6 +357,193 @@ def synthesize_audio(ids: DataFrame, id_col: str = "doc_id", sr: int = 8000) -> 
     return spread(ids.select(id_col)).mapInPandas(gen, _AUDIO_SCHEMA)
 
 
-def video_frame_sample(df: DataFrame, every_n: int = 30):  # pragma: no cover - stub
-    """STUB: video frame sampling (no video libs in sandbox)."""
-    raise NotImplementedError("video codecs unavailable in this environment")
+def synthesize_split_images(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Planted-truth corpus for the THUMBNAIL oracle row: PNG (lossless)
+    images whose top half is one constant color and bottom half another,
+    each a closed form of the id:
+
+    * ``w = 8 + (id % 3) * 4`` (8/12/16), ``h = 16``;
+    * top    ``(id·37 % 256, id·59 % 256, id·83 % 256)``;
+    * bottom ``(id·101 % 256, id·113 % 256, id·127 % 256)``.
+
+    An 8×8 block-mean thumbnail of such an image is exact: every output
+    block lies entirely inside one half (h=16 → 2 source rows per
+    block; colors are constant horizontally), so the decoded thumbnail
+    is 32 px of the top color + 32 px of the bottom color and
+    ``mean_channel × 2 = top + bottom`` exactly — SQL-recomputable with
+    no pixel math."""
+    from .datagen.images import encode_png
+
+    def gen(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _IMAGE_SCHEMA.fields}
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                w = 8 + (i % 3) * 4
+                px = np.empty((16, w, 3), dtype=np.uint8)
+                px[:8] = [i * 37 % 256, i * 59 % 256, i * 83 % 256]
+                px[8:] = [i * 101 % 256, i * 113 % 256, i * 127 % 256]
+                out["image_id"].append(str(i))
+                out["bytes"].append(encode_png(px))
+                out["w"].append(w)
+                out["h"].append(16)
+                out["fmt"].append("png")
+                out["caption"].append(f"cap-{i}")
+                out["phash"].append(mean_hash_64(px))
+            yield pd.DataFrame(out)
+
+    from .spark.util import spread
+
+    # no shared blobs here (every image unique) — plain spread is right
+    return spread(ids.select(id_col)).mapInPandas(gen, _IMAGE_SCHEMA)
+
+
+_VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.LongType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ]
+)
+
+
+def synthesize_videos(
+    ids: DataFrame, id_col: str = "doc_id", n_groups: int = 32, fps: int = 10
+) -> DataFrame:
+    """Deterministic MJPEG video corpus from an id column — the
+    planted-truth table behind the video CORRECTNESS row. Metadata is a
+    closed form of the integer id (SQL-recomputable):
+
+    * ``group    = id % n_groups`` — group members share the same blob
+      (same frame seeds), so the per-task encode cache hits like
+      synthesize_images';
+    * ``n_frames = 4 + (group % 5)``;
+    * ``w = 16 + (group % 3) * 8``, ``h = 16 + (group * 5 % 2) * 16``;
+    * frame ``f`` pixels: uniform noise from seed ``3000 + group * 64
+      + f`` — every frame distinct, so sampling the WRONG frame index is
+      detectable (PSNR collapses; gated in pytest).
+
+    The blob is a real MJPEG elementary stream of baseline-JPEG frames
+    (datagen/mjpeg.py) — the decoder re-derives frame boundaries from
+    the JPEG segment structure, not from stored offsets."""
+    from .datagen.mjpeg import encode_mjpeg
+
+    def gen(batches):
+        blob_cache: dict = {}
+        for pdf in batches:
+            out = {f.name: [] for f in _VIDEO_SCHEMA.fields}
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                g = i % n_groups
+                nf = 4 + (g % 5)
+                w = 16 + (g % 3) * 8
+                h = 16 + (g * 5 % 2) * 16
+                if g not in blob_cache:
+                    frames = [
+                        np.random.default_rng(3000 + g * 64 + f).integers(
+                            0, 256, (h, w, 3), dtype=np.uint8
+                        )
+                        for f in range(nf)
+                    ]
+                    blob_cache[g] = encode_mjpeg(frames, quality=95)
+                out["video_id"].append(i)
+                out["bytes"].append(blob_cache[g])
+                out["n_frames"].append(nf)
+                out["fps"].append(fps)
+                out["w"].append(w)
+                out["h"].append(h)
+                out["fmt"].append("mjpeg")
+            yield pd.DataFrame(out)
+
+    # group-partitioned for the same reason as synthesize_images: one
+    # encode per group per task instead of one per task × group
+    return (
+        ids.select(id_col)
+        .repartition(n_groups, F.col(id_col) % n_groups)
+        .mapInPandas(gen, _VIDEO_SCHEMA)
+    )
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_w", T.IntegerType()),
+        T.StructField("frame_h", T.IntegerType()),
+        T.StructField("frame_phash", T.LongType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def video_frame_sample(
+    df: DataFrame, every_n: int = 30, carry_cols: tuple = ()
+) -> DataFrame:
+    """Every-Nth-frame sampler over the MJPEG video table: split the
+    stream by JPEG segment structure (O(bytes), no decode), decode ONLY
+    frames 0, N, 2N, … through the baseline-JPEG codec, and emit one
+    tiny feature row per sampled frame — dimensions, 64-bit perceptual
+    hash, mean luma. A video whose stream fails to parse yields a
+    single decode_ok=false row (frame_idx −1) per the README decode
+    contract.
+
+    Scale shape: pixels never leave the task — the output rows are
+    O(1) per sampled frame, so the downstream shuffle carries hashes
+    and stats, never frames. ``carry_cols`` pass metadata through the
+    Arrow stage (extract_records pattern) to avoid a join whose other
+    branch would re-run synthesis."""
+    from .datagen.mjpeg import decode_mjpeg_frame, split_mjpeg
+
+    schema = T.StructType(
+        list(_FRAME_SCHEMA.fields)
+        + [T.StructField(c, df.schema[c].dataType) for c in carry_cols]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            out = {f.name: [] for f in _FRAME_SCHEMA.fields}
+            for c in carry_cols:
+                out[c] = []
+            for row_i, (vid, blob) in enumerate(zip(pdf["video_id"], pdf["bytes"])):
+                def emit(idx, fw, fh, ph, ml, ok):
+                    out["video_id"].append(int(vid))
+                    out["frame_idx"].append(idx)
+                    out["frame_w"].append(fw)
+                    out["frame_h"].append(fh)
+                    out["frame_phash"].append(ph)
+                    out["mean_luma"].append(ml)
+                    out["decode_ok"].append(ok)
+                    for c in carry_cols:
+                        out[c].append(pdf[c].iloc[row_i])
+
+                try:
+                    spans = split_mjpeg(bytes(blob))
+                except (ValueError, IndexError):
+                    emit(-1, None, None, None, None, False)
+                    continue
+                for idx in range(0, len(spans), max(every_n, 1)):
+                    off, ln = spans[idx]
+                    try:
+                        px = decode_mjpeg_frame(bytes(blob), off, ln)
+                        gray = px.astype(np.float64) @ np.array(
+                            [0.299, 0.587, 0.114]
+                        )
+                        emit(
+                            idx,
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            mean_hash_64(px),
+                            float(gray.mean()),
+                            True,
+                        )
+                    except (ValueError, zlib.error, struct_error):
+                        emit(idx, None, None, None, None, False)
+            yield pd.DataFrame(out)
+
+    cols = ["video_id", "bytes"] + [c for c in carry_cols if c not in ("video_id",)]
+    return df.select(*cols).mapInPandas(gen, schema)

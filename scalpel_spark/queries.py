@@ -1352,6 +1352,109 @@ def audio_stats(spark, sf_dir):
 
 
 @q(
+    "thumbnail_stats",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(8 AS BIGINT) AS thumb_w,
+           CAST(8 AS BIGINT) AS thumb_h,
+           CAST(doc_id * 37 % 256 + doc_id * 101 % 256 AS BIGINT) AS r2_sum,
+           CAST(doc_id * 59 % 256 + doc_id * 113 % 256 AS BIGINT) AS g2_sum,
+           CAST(doc_id * 83 % 256 + doc_id * 127 % 256 AS BIGINT) AS b2_sum,
+           true AS decode_ok
+    FROM documents
+    """,
+)
+def thumbnail_stats(spark, sf_dir):
+    """Thumbnail oracle row (the last pixel op without one): synthesize
+    split-color PNGs (imageops.synthesize_split_images — top/bottom
+    halves are closed-form colors of doc_id), run the REAL thumbnail
+    pipeline (decode → block-mean resize → PNG re-encode), then decode
+    the thumbnails back and emit exact integer channel sums. Because
+    every 8×8 output block lies wholly inside one constant half,
+    mean_channel × 2 = top_color + bottom_color EXACTLY (integer sum /
+    64 is binary-exact in float64) — the oracle recomputes it from
+    arithmetic alone. A green row proves resize block geometry, both
+    PNG codec directions, and the decode contract."""
+    from scalpel_spark.imageops import (
+        image_features,
+        synthesize_split_images,
+        thumbnails,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    th = thumbnails(synthesize_split_images(d), 8, 8)
+    feats = image_features(
+        th.select(
+            "image_id",
+            F.col("thumb").alias("bytes"),
+            F.lit("png").alias("fmt"),
+        )
+    )
+    return feats.select(
+        "image_id",
+        F.col("decoded_w").cast("long").alias("thumb_w"),
+        F.col("decoded_h").cast("long").alias("thumb_h"),
+        F.round(F.col("mean_r") * 2).cast("long").alias("r2_sum"),
+        F.round(F.col("mean_g") * 2).cast("long").alias("g2_sum"),
+        F.round(F.col("mean_b") * 2).cast("long").alias("b2_sum"),
+        "decode_ok",
+    )
+
+
+@q(
+    "video_stats",
+    """
+    SELECT video_id, n_frames, fps, duration_ms, n_sampled,
+           n_sampled AS n_ok, n_sampled AS n_dims_ok,
+           n_sampled AS n_distinct_phash
+    FROM (
+      SELECT doc_id AS video_id,
+             CAST(4 + (doc_id % 32 % 5) AS BIGINT) AS n_frames,
+             CAST(10 AS BIGINT) AS fps,
+             CAST((4 + (doc_id % 32 % 5)) * 100 AS BIGINT) AS duration_ms,
+             CAST((4 + (doc_id % 32 % 5) + 1) // 2 AS BIGINT) AS n_sampled
+      FROM documents)
+    """,
+)
+def video_stats(spark, sf_dir):
+    """Video multimodal gate (closes the last stub): synthesize real
+    MJPEG elementary streams (imageops.synthesize_videos — concatenated
+    baseline-JPEG frames, every attribute a closed form of doc_id),
+    re-derive frame boundaries from the JPEG segment structure, decode
+    every 2nd frame through the pure-numpy JPEG codec, and aggregate
+    per video. A green row proves: every stream splits into exactly the
+    planted frame count, every sampled frame decodes, decoded frame
+    dimensions equal the planted w/h, and the sampled frames are
+    genuinely DISTINCT frames (per-frame phash distinct — sampling the
+    same frame twice or mis-splitting would collapse the count; the
+    planted noise frames' hash distinctness is deterministic under the
+    fixed synthesis seeds). Frame-level pixel fidelity (PSNR vs planted
+    pixels, order) is gated in pytest — not SQL-expressible.
+    Scale shape: pixels never leave the decode task; the groupBy
+    carries only per-frame hashes and flags."""
+    from scalpel_spark.imageops import synthesize_videos, video_frame_sample
+
+    d = _t(spark, sf_dir, "documents")
+    v = synthesize_videos(d)
+    fr = video_frame_sample(v, every_n=2, carry_cols=("n_frames", "fps", "w", "h"))
+    return fr.groupBy("video_id").agg(
+        F.first("n_frames").cast("long").alias("n_frames"),
+        F.first("fps").cast("long").alias("fps"),
+        F.floor(
+            F.first("n_frames") * 1000 / F.first("fps")
+        ).cast("long").alias("duration_ms"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_ok"),
+        F.sum(
+            (
+                (F.col("frame_w") == F.col("w")) & (F.col("frame_h") == F.col("h"))
+            ).cast("long")
+        ).alias("n_dims_ok"),
+        F.countDistinct("frame_phash").alias("n_distinct_phash"),
+    )
+
+
+@q(
     "embedding_similarity_join_lsh",
     """
     WITH v AS (

@@ -412,3 +412,87 @@ def test_image_features_corrupt_blob_yields_decode_false(spark):
         "garbage_jpeg": False,
         "unknown_fmt": False,
     }
+
+
+class TestVideo:
+    """MJPEG multimodal path: frame splitting by JPEG segment structure,
+    every-Nth sampling, frame ORDER + pixel fidelity (the parts the
+    video_stats SQL oracle can't express)."""
+
+    def test_split_walks_segment_structure_not_marker_search(self):
+        """Frame boundaries must come from walking segment lengths:
+        entropy data is byte-stuffed (FF→FF00) so FFD8 can't occur
+        there, but metadata segment PAYLOADS carry arbitrary bytes —
+        plant a COM segment containing a literal FF D8 (as real EXIF
+        thumbnails do); naive SOI search would mis-split."""
+        from scalpel_spark.datagen.mjpeg import encode_mjpeg, split_mjpeg
+
+        rng = np.random.default_rng(0)
+        frames = [
+            rng.integers(0, 256, (24, 24, 3), dtype=np.uint8) for _ in range(4)
+        ]
+        blob = bytearray(encode_mjpeg(frames, quality=95))
+        # COM (FFFE) with an embedded fake SOI, injected after frame 0's SOI
+        payload = b"fake\xff\xd8\xff\xe0soi"
+        com = b"\xff\xfe" + (len(payload) + 2).to_bytes(2, "big") + payload
+        blob[2:2] = com
+        blob = bytes(blob)
+        assert blob.count(b"\xff\xd8") > len(frames)  # hazard present
+        spans = split_mjpeg(blob)
+        assert len(spans) == len(frames)
+        # spans still tile the stream exactly
+        assert spans[0][0] == 0 and sum(s[1] for s in spans) == len(blob)
+
+    def test_frame_sample_order_and_fidelity(self, spark):
+        """Sampled frame f must decode to the PLANTED frame f: PSNR vs
+        the matching planted pixels is codec-bounded (>=30 dB even on
+        worst-case noise content), while vs any OTHER frame it collapses
+        to ~8 dB — proves ordering, not just decodability."""
+        from scalpel_spark.datagen.mjpeg import decode_mjpeg_frame, split_mjpeg
+        from scalpel_spark.imageops import synthesize_videos, video_frame_sample
+
+        ids = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+        vids = synthesize_videos(ids)
+        rows = video_frame_sample(vids, every_n=2).collect()
+        blobs = {r.video_id: bytes(r.bytes) for r in vids.collect()}
+
+        def psnr(a, b):
+            mse = ((a.astype(np.float64) - b.astype(np.float64)) ** 2).mean()
+            return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+        assert rows and all(r.decode_ok for r in rows)
+        for r in rows:
+            g = r.video_id % 32
+            nf = 4 + (g % 5)
+            w = 16 + (g % 3) * 8
+            h = 16 + (g * 5 % 2) * 16
+            spans = split_mjpeg(blobs[r.video_id])
+            assert len(spans) == nf
+            off, ln = spans[r.frame_idx]
+            px = decode_mjpeg_frame(blobs[r.video_id], off, ln)
+            planted = np.random.default_rng(3000 + g * 64 + r.frame_idx).integers(
+                0, 256, (h, w, 3), dtype=np.uint8
+            )
+            assert psnr(px, planted) >= 30.0
+            other = np.random.default_rng(
+                3000 + g * 64 + (r.frame_idx + 1) % nf
+            ).integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert psnr(px, other) < 15.0
+
+    def test_corrupt_stream_yields_decode_false_row(self, spark):
+        from scalpel_spark.datagen.mjpeg import encode_mjpeg
+        from scalpel_spark.imageops import video_frame_sample
+
+        good = encode_mjpeg(
+            [np.zeros((16, 16, 3), np.uint8), np.full((16, 16, 3), 7, np.uint8)]
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(good)), (2, bytearray(good[:-5]))],  # mid-frame cut
+            "video_id long, bytes binary",
+        )
+        got = {
+            r.video_id: (r.frame_idx, r.decode_ok)
+            for r in video_frame_sample(df, every_n=1).collect()
+            if not r.decode_ok or r.video_id == 2
+        }
+        assert got.get(2) == (-1, False)
