@@ -1178,6 +1178,80 @@ def ann_lsh_recall(spark, sf_dir):
 
 
 @q(
+    "ann_ivf_recall",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * 5 AS BIGINT) AS n_exact,
+           true AS lift_ok, true AS bounded_ok
+    FROM embeddings WHERE vec_id % 97 = 0
+    """,
+)
+def ann_ivf_recall(spark, sf_dir):
+    """IVF (inverted-file) ANN gate row: the OTHER standard ANN family
+    next to hyperplane LSH — a learned spherical-k-means coarse
+    quantizer buckets the corpus into inverted lists; queries score
+    exactly against their ``nprobe`` nearest lists only.
+
+    This corpus is near-uniform in 64-dim (top-5 exact neighbors share
+    the query's label only ~7% of the time — the documented worst case
+    for partition-based ANN), so the honest contract is measured LIFT,
+    not recall 1.0: with nprobe/n_lists = 5/10 a random probe set
+    recalls ~50% in expectation; the gate pins (a) measured recall ≥
+    60% (the learned quantizer's directional lift; 66.7/76.7/80.0
+    measured at sf 0.001/0.01/0.1, deterministic under seed 42) and
+    (b) candidate volume ≤ 0.55·|Q|·(N−1) (sub-linear per-query scan;
+    measured ≈ 0.49). The oracle recomputes |Q| from the same parquet
+    and pins both gates true, so a recall or candidate-volume
+    regression flips the hash match. Raw recall asserted in pytest
+    (tests/test_ops.py::test_ivf_recall_lift)."""
+    from scalpel_spark.annops import (
+        cosine_topk,
+        ivf_assign,
+        ivf_centroids,
+        _exact_rank_candidates,
+    )
+    from scalpel_spark.spark.util import persist_candidates
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 97 == 0)
+    cents = ivf_centroids(e, n_lists=10, n_iters=15)
+    base = ivf_assign(e, cents, 1, out_id="neighbor_id")
+    probes = ivf_assign(queries, cents, 5, out_id="query_id")
+    cand = persist_candidates(
+        probes.join(base, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    approx = _exact_rank_candidates(cand, e, queries, 5, "vec_id", "embedding")
+    exact = cosine_topk(e, queries, k=5)
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_cand"))
+    n_vecs = e.agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        hits.crossJoin(n_cand)
+        .crossJoin(n_vecs)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.col("n_hit") * 100.0 / F.col("n_exact") >= 60.0).alias("lift_ok"),
+            (
+                F.col("n_cand")
+                <= 0.55 * F.col("n_queries") * (F.col("n_vecs") - 1)
+            ).alias("bounded_ok"),
+        )
+    )
+
+
+@q(
     "embedding_similarity_join",
     """
     WITH v AS (

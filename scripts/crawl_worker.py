@@ -69,6 +69,10 @@ def main() -> None:
         extra = {
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": args.event_log,
+            # plain JSON: stage_attrib.py reads the log directly and the
+            # sandbox has no zstd decompressor
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         }
     spark = get_spark(
         app=f"crawl_scaling_{args.cpus}",
