@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "vocab_topk_docs",
     "image_stats",
     "audio_stats",
+    "video_stats",
 ]
 
 
