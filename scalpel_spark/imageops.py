@@ -30,6 +30,18 @@ from pyspark.sql import types as T
 
 from .datagen.images import decode_png, mean_hash_64
 
+#: Rec.601 luma weights (hoisted: building the array per row costs more
+#: than the matmul on thumbnail-sized images)
+_LUMA_W = np.array([0.299, 0.587, 0.114])
+
+#: Task-local decode-memo bound: decode is a pure function of the blob
+#: bytes, so content-duplicated corpora (re-uploads, mirrored assets,
+#: the synthesized group-structured test tables) pay one decode per
+#: DISTINCT blob per task instead of one per row. The cap bounds worker
+#: memory on all-unique corpora; past it we just compute without
+#: storing (the lookup miss costs one dict probe per row — noise).
+_DECODE_MEMO_MAX = 512
+
 
 def decode_image(blob: bytes, fmt: str) -> np.ndarray:
     """bytes → (h, w, 3) uint8. Native here: 'png' (numpy+zlib codec)
@@ -88,35 +100,53 @@ def image_features(df: DataFrame, carry_cols: tuple = ()) -> DataFrame:
         + [T.StructField(c, df.schema[c].dataType) for c in carry_cols]
     )
 
+    def compute(blob: bytes, fmt: str) -> tuple:
+        try:
+            px = decode_image(blob, fmt)
+            gray = px.astype(np.float64) @ _LUMA_W
+            hist = np.histogram(gray, bins=16, range=(0, 256))[0]
+            return (
+                int(px.shape[1]),
+                int(px.shape[0]),
+                float(px[:, :, 0].mean()),
+                float(px[:, :, 1].mean()),
+                float(px[:, :, 2].mean()),
+                hist.astype(int).tolist(),
+                mean_hash_64(px),
+                True,
+            )
+        except (NotImplementedError, ValueError, zlib.error, struct_error):
+            # unsupported fmt, corrupt/truncated stream, bad inflate —
+            # all surface as decode_ok=false rows per the README decode
+            # contract, never failed jobs
+            return (None, None, None, None, None, None, None, False)
+
     def gen(batches):
+        # decode-distinct-once: features are a pure function of (blob,
+        # fmt), so a per-task memo turns duplicated-content corpora into
+        # one decode per distinct blob (see _DECODE_MEMO_MAX)
+        memo: dict = {}
         for pdf in batches:
             out = {f.name: [] for f in _FEATURE_SCHEMA.fields}
             for c in carry_cols:
                 out[c] = pdf[c].tolist()
             for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                try:
-                    px = decode_image(bytes(blob), fmt)
-                    gray = px.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
-                    hist = np.histogram(gray, bins=16, range=(0, 256))[0]
-                    out["image_id"].append(iid)
-                    out["decoded_h"].append(int(px.shape[0]))
-                    out["decoded_w"].append(int(px.shape[1]))
-                    out["mean_r"].append(float(px[:, :, 0].mean()))
-                    out["mean_g"].append(float(px[:, :, 1].mean()))
-                    out["mean_b"].append(float(px[:, :, 2].mean()))
-                    out["luma_hist"].append(hist.astype(int).tolist())
-                    out["phash_check"].append(mean_hash_64(px))
-                    out["decode_ok"].append(True)
-                except (NotImplementedError, ValueError, zlib.error, struct_error):
-                    # unsupported fmt, corrupt/truncated stream, bad
-                    # inflate — all surface as decode_ok=false rows per
-                    # the README decode contract, never failed jobs
-                    out["image_id"].append(iid)
-                    for c in ("decoded_w", "decoded_h", "mean_r", "mean_g", "mean_b"):
-                        out[c].append(None)
-                    out["luma_hist"].append(None)
-                    out["phash_check"].append(None)
-                    out["decode_ok"].append(False)
+                key = (bytes(blob), fmt)
+                feats = memo.get(key)
+                if feats is None:
+                    feats = compute(key[0], fmt)
+                    if len(memo) < _DECODE_MEMO_MAX:
+                        memo[key] = feats
+                dw, dh, mr, mg, mb, hist, ph, ok = feats
+                out["image_id"].append(iid)
+                out["decoded_w"].append(dw)
+                out["decoded_h"].append(dh)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["luma_hist"].append(hist)
+                out["phash_check"].append(ph)
+                out["decode_ok"].append(ok)
             yield pd.DataFrame(out)
 
     in_cols = ["image_id", "bytes", "fmt"] + [
@@ -504,45 +534,61 @@ def video_frame_sample(
         + [T.StructField(c, df.schema[c].dataType) for c in carry_cols]
     )
 
+    def sample_stream(b: bytes) -> list:
+        """Split + decode + per-frame features for one stream — a pure
+        function of the blob bytes (every_n is fixed per operator)."""
+        try:
+            spans = split_mjpeg(b)
+        except (ValueError, IndexError):
+            return [(-1, None, None, None, None, False)]
+        rows = []
+        for idx in range(0, len(spans), max(every_n, 1)):
+            off, ln = spans[idx]
+            try:
+                px = decode_mjpeg_frame(b, off, ln)
+                gray = px.astype(np.float64) @ _LUMA_W
+                rows.append(
+                    (
+                        idx,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        mean_hash_64(px),
+                        float(gray.mean()),
+                        True,
+                    )
+                )
+            except (ValueError, zlib.error, struct_error):
+                rows.append((idx, None, None, None, None, False))
+        return rows
+
     def gen(batches):
+        # decode-distinct-once (see _DECODE_MEMO_MAX): content-duplicated
+        # video corpora decode each distinct stream once per task; frame
+        # pixels still never leave the task
+        memo: dict = {}
         for pdf in batches:
             out = {f.name: [] for f in _FRAME_SCHEMA.fields}
             for c in carry_cols:
                 out[c] = []
+            carries = [pdf[c].tolist() for c in carry_cols]
             for row_i, (vid, blob) in enumerate(zip(pdf["video_id"], pdf["bytes"])):
-                def emit(idx, fw, fh, ph, ml, ok):
-                    out["video_id"].append(int(vid))
+                b = bytes(blob)
+                rows = memo.get(b)
+                if rows is None:
+                    rows = sample_stream(b)
+                    if len(memo) < _DECODE_MEMO_MAX:
+                        memo[b] = rows
+                v = int(vid)
+                for idx, fw, fh, ph, ml, ok in rows:
+                    out["video_id"].append(v)
                     out["frame_idx"].append(idx)
                     out["frame_w"].append(fw)
                     out["frame_h"].append(fh)
                     out["frame_phash"].append(ph)
                     out["mean_luma"].append(ml)
                     out["decode_ok"].append(ok)
-                    for c in carry_cols:
-                        out[c].append(pdf[c].iloc[row_i])
-
-                try:
-                    spans = split_mjpeg(bytes(blob))
-                except (ValueError, IndexError):
-                    emit(-1, None, None, None, None, False)
-                    continue
-                for idx in range(0, len(spans), max(every_n, 1)):
-                    off, ln = spans[idx]
-                    try:
-                        px = decode_mjpeg_frame(bytes(blob), off, ln)
-                        gray = px.astype(np.float64) @ np.array(
-                            [0.299, 0.587, 0.114]
-                        )
-                        emit(
-                            idx,
-                            int(px.shape[1]),
-                            int(px.shape[0]),
-                            mean_hash_64(px),
-                            float(gray.mean()),
-                            True,
-                        )
-                    except (ValueError, zlib.error, struct_error):
-                        emit(idx, None, None, None, None, False)
+                    for c, vals in zip(carry_cols, carries):
+                        out[c].append(vals[row_i])
             yield pd.DataFrame(out)
 
     cols = ["video_id", "bytes"] + [c for c in carry_cols if c not in ("video_id",)]
