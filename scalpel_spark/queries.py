@@ -964,6 +964,7 @@ def minhash_neardup_docs(spark, sf_dir):
     candidate→verify dedup pipeline. The oracle brute-forces exact
     jaccard over all pairs, so any LSH recall loss or shingle-pipeline
     divergence shows up as a row mismatch."""
+    from scalpel_spark.spark.util import persist_candidates
     from scalpel_spark.textops import (
         exact_jaccard_verify,
         lsh_candidate_pairs,
@@ -971,7 +972,10 @@ def minhash_neardup_docs(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
+    # persisted: the banding self-join references the signature frame on
+    # both sides — uncached, the Arrow signature stage runs twice per
+    # action (same rule as minhash_neardup / dedup_clusters_docs)
+    sigs = persist_candidates(minhash_signatures(d))
     cand = lsh_candidate_pairs(sigs, n_bands=16)
     return exact_jaccard_verify(cand, d, threshold=0.5)
 

@@ -284,13 +284,17 @@ def exact_jaccard_verify(
     def _prune(p):
         # shingle arrays / signatures are built ONLY for docs that appear
         # in a candidate pair (semi-join prune): verification cost scales
-        # with the candidate set, not the corpus
+        # with the candidate set, not the corpus. The id set is BROADCAST
+        # (bounded by 2×|candidates|, the same order as the pair frames
+        # already broadcast below) — without the hint Catalyst can't size
+        # the cached-union subtree and sort-merge-shuffles the DOCUMENT
+        # TEXT for a semi join against a few hundred ids
         ids = (
             p.select(F.col("id_a").alias(id_col))
             .unionByName(p.select(F.col("id_b").alias(id_col)))
             .distinct()
         )
-        return docs.join(ids, id_col, "left_semi")
+        return docs.join(F.broadcast(ids), id_col, "left_semi")
 
     if est_screen:
         sigs = minhash_signatures(
@@ -831,12 +835,15 @@ def ngram_jaccard_neardup(
         .where(F.col("est_jaccard") >= threshold - 0.15)
         .select("id_a", "id_b")
     )
+    # broadcast for the same reason as exact_jaccard_verify._prune: the
+    # candidate-id set is small by contract; without the hint the corpus
+    # text is shuffled for the semi join
     ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    needed = df.join(ids, id_col, "left_semi")
+    needed = df.join(F.broadcast(ids), id_col, "left_semi")
     sh = needed.select(F.col(id_col), char_ngram_set_col(F.col(text_col), ngram_n).alias("gr"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("gr").alias("gr_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("gr").alias("gr_b"))
