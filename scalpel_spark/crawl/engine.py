@@ -197,6 +197,11 @@ _EXTRACT_SCHEMA = T.StructType(
 
 _FETCH_COLS = ["fetch_seq", "round", "url", "url_hash", "host", "parent_url", "status", "n_images"]
 
+#: round_data files = extraction rows + the round stamp
+_ROUND_DATA_SCHEMA = T.StructType(
+    _EXTRACT_SCHEMA.fields + [T.StructField("round", T.IntegerType())]
+)
+
 
 def _extract_batches(batches: Iterable[pd.DataFrame]):
     """mapInPandas kernel: fetched pages → extraction rows (one out-row
@@ -452,7 +457,9 @@ class CrawlEngine:
 
         # partitioned: cogroup(link rows, bloom delta rows) on shard
         _, m, k = self._bloom_cfg
-        bloom_rows = self.spark.read.parquet(self._bloom_table)
+        bloom_rows = self.spark.read.schema(
+            "shard int, m int, k int, bits binary"
+        ).parquet(self._bloom_table)
         left = df.withColumn("__shard", self._shard_expr(hash_col))
         out_schema = T.StructType(
             [T.StructField("__shard", T.IntegerType())] + list(schema.fields)
@@ -532,7 +539,8 @@ class CrawlEngine:
 
         tmp = self._bloom_table + ".compact"
         (
-            self.spark.read.parquet(self._bloom_table)
+            self.spark.read.schema("shard int, m int, k int, bits binary")
+            .parquet(self._bloom_table)
             .groupBy("shard")
             .applyInPandas(merge, "shard int, m int, k int, bits binary")
             .write.mode("overwrite")
@@ -564,6 +572,18 @@ class CrawlEngine:
         parquet with the frontier schema)."""
         return [self.store.table_path(r, "frontier_delta") for r in range(lo, hi + 1)]
 
+    def _read_frontier(self, *paths: str) -> DataFrame:
+        """Frontier delta/base reader with the schema pinned: the files
+        are engine-written with a known schema, and schema inference
+        costs one eager driver job (footer read) PER read call — a
+        per-round tax on the pending/seen views, which re-read every
+        committed delta each round."""
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(*paths)
+
+    def _read_round_data(self, *paths: str) -> DataFrame:
+        """round_data reader with the schema pinned (same rationale)."""
+        return self.spark.read.schema(_ROUND_DATA_SCHEMA).parquet(*paths)
+
     def _seen_union(self, upto_round: int) -> DataFrame | None:
         """URL-seen rows = every frontier delta committed before
         ``upto_round`` (the seed delta at round −1 included). Column
@@ -571,7 +591,7 @@ class CrawlEngine:
         paths = self._delta_paths(-1, upto_round - 1)
         if not paths:
             return None
-        return self.spark.read.parquet(*paths).select("url_hash", "url")
+        return self._read_frontier(*paths).select("url_hash", "url")
 
     def _pending_frontier(self, rnd: int) -> DataFrame:
         """Pending rows entering round ``rnd``: the latest base snapshot,
@@ -587,12 +607,12 @@ class CrawlEngine:
             else self.store.table_path(-1, "frontier_delta")
         )
         paths = [base] + self._delta_paths(b + 1, rnd - 1)
-        df = self.spark.read.parquet(*paths).select(*_FRONTIER_COLS)
+        df = self._read_frontier(*paths).select(*_FRONTIER_COLS)
         tomb_rounds = [
             r for r in range(b + 1, rnd) if os.path.exists(self.store.table_path(r, "round_data"))
         ]
         if tomb_rounds:
-            fetched = self.spark.read.parquet(
+            fetched = self._read_round_data(
                 *[self.store.table_path(r, "round_data") for r in tomb_rounds]
             ).select("url_hash", "url")
             df = df.join(F.broadcast(fetched), ["url_hash", "url"], "left_anti")
@@ -626,7 +646,21 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
 
-    def _politeness_batch(self, frontier: DataFrame, seq_offset: int):
+    #: pending-frontier size below which the salted pre-phase is skipped:
+    #: the salt window exists to bound a HOT host's partition to
+    #: n_salts × budget rows, but when the WHOLE pending set fits one
+    #: sort task comfortably (narrow rows; 200k ≈ 20 MB) the worst-case
+    #: host partition is already bounded by it, and the pre-phase only
+    #: adds an Exchange + Window per round. The prune is exact either
+    #: way (any host-top-budget row is in its salt's top-budget), so
+    #: ranked output is identical — this is a plan choice, not a
+    #: semantics choice. Production pendings (≫ this) always salt.
+    #: Env-overridable for A/B measurement (0 = always salt).
+    _SALT_SKIP_PENDING = int(os.environ.get("SPARK_GRAFT_SALT_SKIP", "200000"))
+
+    def _politeness_batch(
+        self, frontier: DataFrame, seq_offset: int, n_pending: int | None = None
+    ):
         """Salted two-phase per-host top-k + global fetch_seq.
 
         fetch_seq = seq_offset + exclusive-prefix-sum of per-host batch
@@ -642,17 +676,21 @@ class CrawlEngine:
             F.coalesce("budget", F.lit(DEFAULT_BUDGET)) * F.lit(self.budget_scale),
         )
         order = [F.desc("priority"), F.asc("url_hash"), F.asc("url")]
-        w1 = Window.partitionBy("host", "salt").orderBy(*order)
-        pre = (
-            cand.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(self.n_salts)))
-            .withColumn("r1", F.row_number().over(w1))
-            .where(F.col("r1") <= F.col("budget"))
-        )
+        salted = n_pending is None or n_pending > self._SALT_SKIP_PENDING
+        if salted:
+            w1 = Window.partitionBy("host", "salt").orderBy(*order)
+            pre = (
+                cand.withColumn("salt", F.pmod(F.col("url_hash"), F.lit(self.n_salts)))
+                .withColumn("r1", F.row_number().over(w1))
+                .where(F.col("r1") <= F.col("budget"))
+            )
+        else:
+            pre = cand
         w2 = Window.partitionBy("host").orderBy(*order)
         ranked = (
             pre.withColumn("rank", F.row_number().over(w2) - 1)
             .where(F.col("rank") < F.col("budget"))
-            .drop("salt", "r1", "budget")
+            .drop(*(["salt", "r1", "budget"] if salted else ["budget"]))
         ).persist()
 
         counts = ranked.groupBy("host").agg((F.max("rank") + 1).alias("cnt"))
@@ -783,7 +821,7 @@ class CrawlEngine:
             t0 = _trace("bootstrap seed+write", t0)
             # bloom from the durable delta (deterministic lineage)
             self._bloom_update(
-                spark.read.parquet(path).select("url_hash"), "url_hash"
+                self._read_frontier(path).select("url_hash"), "url_hash"
             )
             t0 = _trace("bootstrap bloom", t0)
             self.store.commit_round(
@@ -824,7 +862,7 @@ class CrawlEngine:
             if n_pending == 0:
                 break
             frontier = self._pending_frontier(rnd)
-            ranked, batch = self._politeness_batch(frontier, seq_offset)
+            ranked, batch = self._politeness_batch(frontier, seq_offset, n_pending)
             fetched_in = self._fetch_batch(batch, n_pending, prev_batch)
             extracted = fetched_in.mapInPandas(
                 lambda it: _extract_batches(it), _EXTRACT_SCHEMA
@@ -852,7 +890,7 @@ class CrawlEngine:
             # return different content — the committed file is the truth
             # every downstream stage must see
             links = (
-                spark.read.parquet(rd_path)
+                self._read_round_data(rd_path)
                 .select(
                     "fetch_seq",
                     F.col("url").alias("parent_url"),
@@ -953,7 +991,7 @@ class CrawlEngine:
                     self.bloom.bits[s] |= np.frombuffer(bits, dtype=np.uint8)
             else:
                 self._bloom_update(
-                    spark.read.parquet(fr_path).select("url_hash"), "url_hash"
+                    self._read_frontier(fr_path).select("url_hash"), "url_hash"
                 )
             self._bloom_release()
             t0 = _trace(f"r{rnd} bloom delta", t0)
@@ -1020,7 +1058,7 @@ class CrawlEngine:
         return [p for p in paths if os.path.exists(p)]
 
     def fetch_log_df(self) -> DataFrame:
-        return self.spark.read.parquet(*self._round_data_paths()).select(*_FETCH_COLS)
+        return self._read_round_data(*self._round_data_paths()).select(*_FETCH_COLS)
 
     def seen_df(self) -> DataFrame:
         last = self.store.last_complete_round()
@@ -1028,7 +1066,7 @@ class CrawlEngine:
 
     def images_df(self) -> DataFrame:
         return (
-            self.spark.read.parquet(*self._round_data_paths())
+            self._read_round_data(*self._round_data_paths())
             .select(F.col("url").alias("page_url"), F.explode("imgs").alias("img"))
             .select("page_url", "img.image_id", "img.src", "img.caption")
         )
