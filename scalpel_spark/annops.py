@@ -105,6 +105,8 @@ def hyperplane_signatures(
     def gen(batches):
         planes = None
         for pdf in batches:
+            if not len(pdf):
+                continue  # zero-row batch: see ivf_assign (ADVICE r5)
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
             if planes is None:
                 rng = np.random.default_rng(seed)
@@ -426,6 +428,10 @@ def ivf_assign(
 
     def gen(batches):
         for pdf in batches:
+            if not len(pdf):
+                # zero-row Arrow batch: np.array([]) is 1-D and the
+                # axis=1 norm below would raise (ADVICE r5)
+                continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float32)
             mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
             dots = mat @ c_t
