@@ -200,8 +200,14 @@ def cosine_similarity_join(
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na")
     )
-    b = base.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    # spread the STREAMED side: the BroadcastNestedLoopJoin's parallelism
+    # is its streamed side's partitioning, and a single-file parquet scan
+    # is one partition — without this the O(N²) scoring loop runs on one
+    # core (measured 21.5 s vs ~1 s at sf0.1 on local[32])
+    b = spread(
+        base.select(
+            F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+        )
     )
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
