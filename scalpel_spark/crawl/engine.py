@@ -693,6 +693,23 @@ class CrawlEngine:
             .drop(*(["salt", "r1", "budget"] if salted else ["budget"]))
         ).persist()
 
+        if not salted:
+            # small-pending regime (same threshold as the salt skip): the
+            # politeness batch is ≤ pending ≤ 200k rows, so one global
+            # row_number over (host, rank) — the identical host-order
+            # prefix + within-host rank total order — replaces the
+            # per-host count aggregation, the offset window, and the
+            # broadcast join (two fewer sub-jobs per round). The batch
+            # side is politeness-bounded, so the single-partition sort is
+            # trivially cheap here; large pendings take the two-level
+            # scan below unchanged.
+            w_seq = Window.orderBy("host", "rank")
+            batch = ranked.withColumn(
+                "fetch_seq",
+                (F.row_number().over(w_seq) - 1 + F.lit(seq_offset)).cast("long"),
+            )
+            return ranked, batch
+
         counts = ranked.groupBy("host").agg((F.max("rank") + 1).alias("cnt"))
         if self._two_level_scan:
             n_parts = self.spark.sparkContext.defaultParallelism
