@@ -25,31 +25,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PLANS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r06")
+# single source of truth: the frozen headline bench's own constants,
+# so a catalog rename can never desynchronize the evidence set
+from bench import BENCH_QUERIES, CPUS, SF_DIR  # noqa: E402
 
-BENCH_QUERIES = [
-    "q1_pricing_summary",
-    "q_region_nation_revenue",
-    "q_brand_volume",
-    "q_top3_orders_per_customer",
-    "q_events_hourly",
-    "q_session_windows",
-    "scrape_img_attrs",
-    "scrape_serial_sections",
-    "dedup_exact_docs",
-    "minhash_neardup_docs",
-    "simhash_neardup_docs",
-    "ngram_jaccard_neardup_docs",
-    "ann_cosine_topk",
-    "embedding_similarity_join_lsh",
-    "token_count_docs",
-    "vocab_topk_docs",
-    "image_stats",
-    "audio_stats",
-    "video_stats",
-]
+PLANS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "plans", "r06")
 
 
 def main() -> None:
@@ -82,7 +62,10 @@ def main() -> None:
     out: dict = {}
     for name in names:
         fn = QUERIES[name]
-        if args.tag:
+        if args.tag and not args.cold:
+            # plan capture runs the full Catalyst pipeline (and any
+            # eager probes in the query builder) — incompatible with a
+            # cold-start measurement; --cold therefore skips it
             os.makedirs(PLANS_DIR, exist_ok=True)
             df = fn(spark, SF_DIR)
             plan = df._sc._jvm.PythonSQLUtils.explainString(

@@ -704,9 +704,12 @@ class CrawlEngine:
             # trivially cheap here; large pendings take the two-level
             # scan below unchanged.
             w_seq = Window.orderBy("host", "rank")
+            # row_number is IntegerType: promote BEFORE adding the
+            # offset, or a crawl past 2^31 total fetches would wrap
+            # (the salted path's host_base sum is already long)
             batch = ranked.withColumn(
                 "fetch_seq",
-                (F.row_number().over(w_seq) - 1 + F.lit(seq_offset)).cast("long"),
+                (F.row_number().over(w_seq).cast("long") - 1 + F.lit(seq_offset)),
             )
             return ranked, batch
 

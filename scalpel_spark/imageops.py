@@ -37,10 +37,19 @@ _LUMA_W = np.array([0.299, 0.587, 0.114])
 #: Task-local decode-memo bound: decode is a pure function of the blob
 #: bytes, so content-duplicated corpora (re-uploads, mirrored assets,
 #: the synthesized group-structured test tables) pay one decode per
-#: DISTINCT blob per task instead of one per row. The cap bounds worker
-#: memory on all-unique corpora; past it we just compute without
-#: storing (the lookup miss costs one dict probe per row — noise).
+#: DISTINCT blob per task instead of one per row. Entries are keyed by
+#: a 16-byte BLAKE2 digest of the blob — never the blob itself — so on
+#: all-unique corpora the memo retains only digests + tiny feature
+#: tuples, not up to 512 full media payloads per task. Past the cap we
+#: compute without storing (one digest per row — ~µs against ms-scale
+#: decode).
 _DECODE_MEMO_MAX = 512
+
+
+def _blob_key(blob: bytes) -> bytes:
+    import hashlib
+
+    return hashlib.blake2b(blob, digest_size=16).digest()
 
 
 def decode_image(blob: bytes, fmt: str) -> np.ndarray:
@@ -131,10 +140,11 @@ def image_features(df: DataFrame, carry_cols: tuple = ()) -> DataFrame:
             for c in carry_cols:
                 out[c] = pdf[c].tolist()
             for iid, blob, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                key = (bytes(blob), fmt)
+                b = bytes(blob)
+                key = (_blob_key(b), fmt)
                 feats = memo.get(key)
                 if feats is None:
-                    feats = compute(key[0], fmt)
+                    feats = compute(b, fmt)
                     if len(memo) < _DECODE_MEMO_MAX:
                         memo[key] = feats
                 dw, dh, mr, mg, mb, hist, ph, ok = feats
@@ -573,11 +583,12 @@ def video_frame_sample(
             carries = [pdf[c].tolist() for c in carry_cols]
             for row_i, (vid, blob) in enumerate(zip(pdf["video_id"], pdf["bytes"])):
                 b = bytes(blob)
-                rows = memo.get(b)
+                key = _blob_key(b)
+                rows = memo.get(key)
                 if rows is None:
                     rows = sample_stream(b)
                     if len(memo) < _DECODE_MEMO_MAX:
-                        memo[b] = rows
+                        memo[key] = rows
                 v = int(vid)
                 for idx, fw, fh, ph, ml, ok in rows:
                     out["video_id"].append(v)

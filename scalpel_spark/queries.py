@@ -238,12 +238,6 @@ def q_order_value_lead_lag(spark, sf_dir):
     )
 
 
-
-
-
-
-
-
 @q(
     "q_events_hourly",
     """

@@ -266,6 +266,14 @@ def exact_jaccard_verify(
     pipeline. Shuffles carry only (id, shingle-array) for candidates,
     never the corpus.
 
+    Scale bound: the semi-join prune below BROADCASTS the candidate-id
+    set, so callers must keep |candidates| broadcast-sized (the same
+    contract as the pair-frame broadcasts in this plan). A candidate
+    generator that emits corpus-scale pair sets (degenerate corpus +
+    weak blocking) needs the est_screen or a pre-filter first — the
+    broadcast failing loudly is preferable to silently shuffling the
+    corpus text, which is what Catalyst picked without the hint.
+
     ``est_screen=True`` inserts a signature-estimate screen between
     candidates and exact verify: 64-hash minhash signatures are computed
     for candidate docs only, and pairs with est_jaccard <
